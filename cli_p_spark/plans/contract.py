@@ -1,0 +1,658 @@
+"""Driver-contract queries (SURVEY.md §2.2 checklist) + DuckDB oracles.
+
+Every implemented operator category lands here as a (spark_fn, oracle_sql)
+pair over the driver-provided tables at sf_dir.  Conventions that keep the
+driver's order-insensitive value-hash comparison stable across engines:
+
+- every computed column aliased identically in Spark and SQL;
+- doubles rounded (ROUND(x, 3..4)) on BOTH sides — partial/final agg order
+  differs between engines, so raw double sums differ in final ulps;
+- no floating rank columns in output where adjacent scores can be close;
+- deterministic total orderings wherever LIMIT is used.
+
+KG-pipeline entries (kg_*) operate on the synthesized interleaved corpus
+(FIXTURES.md) — not SQL-expressible (encoder UDF), so they ship without an
+oracle and get the driver's rows-only check; their real gate is
+tests/test_pipeline_exact.py (P/R vs the NumPy oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..operators.link import cosine_expr
+from ..operators.topk import topk_per_group
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# aggregation / scan / filter
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + hash agg (partial+final automatic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 3) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def filter_project_pushdown(spark, sf_dir):
+    """Predicate + projection pushdown to the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & (F.col("l_discount") < 0.02)
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+
+
+FILTER_SQL = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q3_top_unshipped_revenue(spark, sf_dir):
+    """3-way join + agg + deterministic global top-10."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def join_broadcast_dims(spark, sf_dir):
+    """Star-schema dim chain supplier->nation->region; small dims broadcast
+    (Catalyst picks BroadcastHashJoin; verified in tests via the plan)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 3).alias("sum_acctbal"),
+        )
+    )
+
+
+JOIN_DIMS_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 3) AS sum_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def semi_join_customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def anti_join_customers_without_orders(spark, sf_dir):
+    """The reference's skip/already-indexed resume check is exactly this
+    anti-join shape (build-index.py:36-44)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """5-way join + agg (shuffle join on fact side, broadcast dims)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# window / sort / set ops / dedup
+# ---------------------------------------------------------------------------
+
+def window_topk_orders_per_cust(spark, sf_dir):
+    """Per-group top-k window — the engine's core ranking primitive
+    (reference: faiss top-k, query-index.py:111)."""
+    o = _t(spark, sf_dir, "orders")
+    top = topk_per_group(
+        o, ["o_custkey"], "o_totalprice", k=3, tiebreak_cols=["o_orderkey"]
+    )
+    return top.select(
+        "o_custkey", "o_orderkey",
+        F.round("o_totalprice", 3).alias("price"), "rank",
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 3) AS price, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+"""
+
+
+def agg_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+COUNT_DISTINCT_SQL = """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def union_dedup_nationkeys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .unionByName(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+UNION_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+"""
+
+
+def sort_limit_top_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 3).alias("price"))
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 3) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+"""
+
+
+def rollup_lineitem_flags(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# string / date / conditional
+# ---------------------------------------------------------------------------
+
+def string_funcs_part(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.withColumn("first_word", F.split(F.col("p_name"), " ").getItem(0))
+        .groupBy("first_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max(F.upper("p_brand")).alias("max_brand_upper"),
+        )
+    )
+
+
+STRING_SQL = """
+SELECT string_split(p_name, ' ')[1] AS first_word,
+       COUNT(*) AS n_parts,
+       ROUND(AVG(p_retailprice), 4) AS avg_price,
+       MAX(UPPER(p_brand)) AS max_brand_upper
+FROM part GROUP BY 1
+"""
+
+
+def date_funcs_orders_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 3).alias("sum_price"),
+    )
+
+
+DATE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 3) AS sum_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def case_when_conditional_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R",
+                       F.col("l_extendedprice")).otherwise(F.lit(0.0))
+            ), 3,
+        ).alias("returned_value"),
+        F.round(
+            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))), 4
+        ).alias("avg_qty_high_disc"),
+    )
+
+
+CASE_SQL = """
+SELECT l_linestatus,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 3)
+         AS returned_value,
+       ROUND(AVG(CASE WHEN l_discount > 0.05 THEN l_quantity END), 4)
+         AS avg_qty_high_disc
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: time series / window functions with frames
+# ---------------------------------------------------------------------------
+
+def events_user_activity(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+EVENTS_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_lag_gap(spark, sf_dir):
+    """lag() window over event time — per-user mean inter-event gap (sec)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; timestampdiff(MICROSECOND) is timezone-free and
+    # exact-integer on us-precision data, so it hashes identically to the
+    # DuckDB oracle regardless of the driver session's timezone.
+    gaps = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "gap_s",
+        F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") / F.lit(1000000.0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.round(F.avg("gap_s"), 3).alias("avg_gap_s"),
+        F.count("gap_s").alias("n_gaps"),
+    )
+
+
+EVENTS_LAG_SQL = """
+SELECT user_id,
+       ROUND(AVG(gap_s), 3) AS avg_gap_s,
+       COUNT(gap_s) AS n_gaps
+FROM (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) / 1000000.0 AS gap_s
+  FROM events)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash: keep min doc_id per md5(text) group —
+    the pipeline's 'already indexed' idempotency check at corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+DEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def doc_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(F.split(F.col("text"), " "))), 4).alias(
+            "avg_tokens"
+        ),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+TOKEN_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_quality_score(spark, sf_dir):
+    """Text-quality heuristic: alpha ratio + mean word length per source."""
+    d = _t(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return (
+        d.withColumn(
+            "alpha_ratio", alpha / F.nullif(F.length("text"), F.lit(0))
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+QUALITY_SQL = """
+SELECT source,
+       ROUND(AVG(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                 / NULLIF(length(text), 0)), 4) AS avg_alpha_ratio,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def knn_bruteforce_cosine(spark, sf_dir):
+    """Exact cosine top-5 per probe vector — the reference's search
+    semantics (query-index.py:111) on the driver's embeddings table.
+    Pure Catalyst: broadcast cross join + zip_with dot + rank window."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cands = e.filter(F.col("vec_id") >= 8)
+    norm = lambda c: F.sqrt(cosine_expr(c, c))  # noqa: E731
+    scored = (
+        cands.crossJoin(F.broadcast(probes))
+        .withColumn(
+            "cos",
+            cosine_expr("pe", "embedding")
+            / (norm("pe") * norm("embedding")),
+        )
+    )
+    top = topk_per_group(
+        scored, ["probe_id"], "cos", k=5, tiebreak_cols=["vec_id"]
+    )
+    return top.select(
+        "probe_id", "vec_id", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+KNN_SQL = """
+SELECT probe_id, vec_id, ROUND(cos, 4) AS cos_sim FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         list_cosine_similarity(p.embedding, c.embedding) AS cos,
+         ROW_NUMBER() OVER (
+            PARTITION BY p.vec_id
+            ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC,
+                     c.vec_id ASC) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 8) p,
+       (SELECT * FROM embeddings WHERE vec_id >= 8) c)
+WHERE rn <= 5
+"""
+
+
+def embedding_norm_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.round(F.avg(F.sqrt(cosine_expr("embedding", "embedding"))), 4)
+        .alias("avg_norm"),
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(F.size("embedding")), 2).alias("avg_dim"),
+    )
+
+
+NORM_SQL = """
+SELECT label,
+       ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+       COUNT(*) AS n_vecs,
+       ROUND(AVG(len(embedding)), 2) AS avg_dim
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline entries (no SQL oracle — gated by pytest vs NumPy oracle)
+# ---------------------------------------------------------------------------
+
+def _kg_corpus(spark):
+    from ..fixtures.generate import corpus, documents_to_spark
+
+    docs_pdf, ents_pdf = corpus(n_docs=300, n_entities=150)
+    return documents_to_spark(spark, docs_pdf), docs_pdf, ents_pdf
+
+
+def kg_triples_exact(spark, sf_dir):
+    from .pipeline import build_triples_exact
+
+    docs, _, ents_pdf = _kg_corpus(spark)
+    triples, _ = build_triples_exact(docs, ents_pdf, PipelineConfig())
+    return triples.select(
+        "subj", "pred", "obj", F.round("score", 4).alias("score"), "span_idx"
+    )
+
+
+def kg_span_roundtrip(spark, sf_dir):
+    """Span-sequence invariant as a query: docs whose reassembled span
+    sequence differs from the input (must be empty... returns count=0 row)."""
+    from .pipeline import explode_spans, reassemble_spans
+
+    docs, _, _ = _kg_corpus(spark)
+    rebuilt = reassemble_spans(explode_spans(docs))
+    orig = docs.filter(F.size("spans") > 0)
+    joined = orig.alias("a").join(rebuilt.alias("b"), "doc_id", "full_outer")
+    mismatches = joined.filter(
+        ~(F.col("a.spans") == F.col("b.spans"))
+        | F.col("a.spans").isNull()
+        | F.col("b.spans").isNull()
+    )
+    return mismatches.agg(F.count(F.lit(1)).alias("n_mismatched_docs"))
+
+
+def kg_skips_quarantine(spark, sf_dir):
+    from .pipeline import build_triples_exact
+
+    docs, _, ents_pdf = _kg_corpus(spark)
+    _, skips = build_triples_exact(docs, ents_pdf, PipelineConfig())
+    return skips
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_project_pushdown": filter_project_pushdown,
+    "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
+    "q5_region_revenue": q5_region_revenue,
+    "join_broadcast_dims": join_broadcast_dims,
+    "semi_join_customers_with_orders": semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "window_topk_orders_per_cust": window_topk_orders_per_cust,
+    "agg_count_distinct": agg_count_distinct,
+    "union_dedup_nationkeys": union_dedup_nationkeys,
+    "sort_limit_top_orders": sort_limit_top_orders,
+    "rollup_lineitem_flags": rollup_lineitem_flags,
+    "string_funcs_part": string_funcs_part,
+    "date_funcs_orders_monthly": date_funcs_orders_monthly,
+    "case_when_conditional_agg": case_when_conditional_agg,
+    "events_user_activity": events_user_activity,
+    "events_lag_gap": events_lag_gap,
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_token_stats": doc_token_stats,
+    "doc_quality_score": doc_quality_score,
+    "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "embedding_norm_stats": embedding_norm_stats,
+    "kg_triples_exact": kg_triples_exact,
+    "kg_span_roundtrip": kg_span_roundtrip,
+    "kg_skips_quarantine": kg_skips_quarantine,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "filter_project_pushdown": FILTER_SQL,
+    "q3_top_unshipped_revenue": Q3_SQL,
+    "q5_region_revenue": Q5_SQL,
+    "join_broadcast_dims": JOIN_DIMS_SQL,
+    "semi_join_customers_with_orders": SEMI_SQL,
+    "anti_join_customers_without_orders": ANTI_SQL,
+    "window_topk_orders_per_cust": WINDOW_TOPK_SQL,
+    "agg_count_distinct": COUNT_DISTINCT_SQL,
+    "union_dedup_nationkeys": UNION_SQL,
+    "sort_limit_top_orders": SORT_LIMIT_SQL,
+    "rollup_lineitem_flags": ROLLUP_SQL,
+    "string_funcs_part": STRING_SQL,
+    "date_funcs_orders_monthly": DATE_SQL,
+    "case_when_conditional_agg": CASE_SQL,
+    "events_user_activity": EVENTS_AGG_SQL,
+    "events_lag_gap": EVENTS_LAG_SQL,
+    "doc_exact_dedup": DEDUP_SQL,
+    "doc_token_stats": TOKEN_SQL,
+    "doc_quality_score": QUALITY_SQL,
+    "knn_bruteforce_cosine": KNN_SQL,
+    "embedding_norm_stats": NORM_SQL,
+    # kg_* entries: non-SQL-expressible (encoder UDF) -> rows-only check;
+    # real gate is tests/test_pipeline_exact.py vs the NumPy exact oracle.
+}
