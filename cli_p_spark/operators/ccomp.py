@@ -1,0 +1,128 @@
+"""Connected components over mention-pair edges — canonicalization core.
+
+The reference has no analogue (its REPL shows ranked lists); the north_rule
+adds canonicalization: mentions whose embeddings are near-duplicates
+(cosine >= tau_cc, the self-join semantics of query-index.py:86-99 'i ID'
+query-by-example) collapse to one canonical id.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — O(log^2 n) rounds, pure
+DataFrame ops, no GraphFrames dependency:
+
+  large-star: for each node u, attach every strictly-larger neighbor to
+              m(u) = min(N(u) + {u})
+  small-star: orient edges high->low; attach every smaller-or-equal
+              neighbor and u itself to m(u)
+
+Convergence when the edge set reaches a fixed point (star graphs rooted at
+component minima).  Each iteration localCheckpoints (or cluster-checkpoints
+when a checkpoint dir is set) to break lineage — without it the plan tree
+doubles per round and the driver OOMs long before 10^12 edges.
+
+Hub skew (north_rule): a hub entity's mentions form one giant component;
+min-aggregations groupBy(node) would funnel the hub's whole neighbor list
+through one reducer.  ``salt_buckets`` > 1 switches the min-neighbor
+aggregation to two-phase: groupBy(node, pmod(hash(other), S)) partial-min,
+then groupBy(node) final-min — the classic salted two-phase aggregation
+(AQE cannot split a single groupBy key; salting can).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame, salt_buckets: int) -> DataFrame:
+    """min(dst) per src; two-phase with salt when salt_buckets > 1."""
+    if salt_buckets <= 1:
+        return edges.groupBy("src").agg(F.min("dst").alias("min_dst"))
+    partial = edges.groupBy(
+        "src", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_salt")
+    ).agg(F.min("dst").alias("_pmin"))
+    return partial.groupBy("src").agg(F.min("_pmin").alias("min_dst"))
+
+
+def _large_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    m = _min_neighbor(sym, salt_buckets).withColumn(
+        "m", F.least("min_dst", "src")
+    ).select("src", "m")
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = _min_neighbor(directed, salt_buckets).withColumn(
+        "m", F.least("min_dst", "src")
+    ).select("src", "m")
+    joined = directed.join(m, "src")
+    to_m = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    self_m = m.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        to_m.unionByName(self_m)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 20,
+    salt_buckets: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Returns (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected (each pair once or twice, either orientation).
+    Deterministic: component ids are min string/numeric ids, independent
+    of partitioning.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        e2 = _small_star(
+            _large_star(e, salt_buckets), salt_buckets
+        ).localCheckpoint()
+        # fixed point: edge sets equal (both are distinct() already)
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        e = e2
+        if changed == 0:
+            break
+    # e is now (node -> component-min) star edges; add singleton roots
+    comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = (
+        e.select(F.col("dst").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return comp.unionByName(roots).distinct()
+
+
+def canonical_mapping(
+    components: DataFrame, all_nodes: DataFrame, node_col: str = "node"
+) -> DataFrame:
+    """(node, canonical_id) for every node — nodes in no edge map to
+    themselves."""
+    return (
+        all_nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .join(components, "node", "left")
+        .withColumn("canonical_id", F.coalesce("component", "node"))
+        .select("node", "canonical_id")
+    )

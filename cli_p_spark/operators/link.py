@@ -118,9 +118,9 @@ def cosine_expr(a: str, b: str):
     unit vectors (encoder normalizes), so dot == cosine, exactly the
     reference's trick (build-index.py:50, query-index.py:108)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, x: acc + x.cast("double"),
+        lambda acc, x: acc + x,
     )
 
 

@@ -598,6 +598,30 @@ def kg_skips_quarantine(spark, sf_dir):
     return skips
 
 
+def kg_triples_ann(spark, sf_dir):
+    """IVF-bucket-join ANN linking at the reference's nlist/nprobe."""
+    from .pipeline import build_triples_ann
+
+    docs, _, ents_pdf = _kg_corpus(spark)
+    triples, _ = build_triples_ann(
+        docs, ents_pdf, PipelineConfig(), nlist=100, nprobe=32
+    )
+    return triples.select(
+        "subj", "pred", "obj", F.round("score", 4).alias("score"), "span_idx"
+    )
+
+
+def kg_canonical_triples(spark, sf_dir):
+    """Full pipeline: ANN link + CC canonicalization (subj = canonical id)."""
+    from .pipeline import build_kg
+
+    docs, _, ents_pdf = _kg_corpus(spark)
+    out = build_kg(docs, ents_pdf, PipelineConfig())
+    return out["canonical_triples"].select(
+        "subj", "pred", "obj", F.round("score", 4).alias("score"), "span_idx"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -628,6 +652,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_exact": kg_triples_exact,
     "kg_span_roundtrip": kg_span_roundtrip,
     "kg_skips_quarantine": kg_skips_quarantine,
+    "kg_triples_ann": kg_triples_ann,
+    "kg_canonical_triples": kg_canonical_triples,
 }
 
 ORACLES: dict[str, str] = {

@@ -121,6 +121,148 @@ def triples_from_links(links: DataFrame) -> DataFrame:
     )
 
 
+def build_triples_ann(
+    documents: DataFrame,
+    entities_pdf,
+    cfg: PipelineConfig = PipelineConfig(),
+    nlist: int = 100,
+    nprobe: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """M3: ANN linking via the IVF-style bucket equi-join (operators/ann.py).
+
+    nlist/nprobe defaults are the reference's own (build-index.py:81,
+    query-index.py:30); nprobe=nlist degenerates to exact search.
+    P/R vs the exact oracle gated >=0.95 in tests/test_ann_link.py.
+    """
+    import numpy as np
+
+    from ..fixtures.generate import entities_to_spark
+    from ..operators.ann import link_ann_join, train_centroids
+
+    spans = explode_spans(documents)
+    encoded = encode_mentions(spans, cfg)
+    ok, skips = split_skips(encoded)
+    mentions = ok.select("doc_id", "span_idx", "kind", "embedding")
+
+    emat = np.stack(entities_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=nlist, seed=cfg.seed)
+    entities = entities_to_spark(documents.sparkSession, entities_pdf)
+
+    links = link_ann_join(
+        mentions, entities, centroids, k=cfg.k, tau=cfg.tau, nprobe=nprobe
+    )
+    return triples_from_links(links), skips
+
+
+def mention_edges(
+    mentions: DataFrame,
+    centroids,
+    tau_cc: float,
+    nprobe: int = 32,
+    k: int = 20,
+) -> DataFrame:
+    """Mention-mention high-similarity pairs via the ANN self-join —
+    the reference's query-by-example ('i ID', query-index.py:86-99) run
+    for EVERY mention at once.  Returns (src, dst) with src < dst."""
+    from ..operators.ann import link_ann_join
+
+    mid = F.concat_ws("#", "doc_id", "span_idx")
+    probe_side = mentions.select(
+        mid.alias("mention_id"), F.lit(0).alias("span_idx"), "embedding"
+    )
+    index_side = mentions.select(
+        mid.alias("entity_id"), "embedding"
+    )
+    pairs = link_ann_join(
+        probe_side,
+        index_side,
+        centroids,
+        k=k,
+        tau=tau_cc,
+        nprobe=nprobe,
+        mention_keys=("mention_id",),
+        carry_cols=(),
+    )
+    return (
+        pairs.filter(F.col("mention_id") != F.col("entity_id"))
+        .select(
+            F.least("mention_id", "entity_id").alias("src"),
+            F.greatest("mention_id", "entity_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def build_kg(
+    documents: DataFrame,
+    entities_pdf,
+    cfg: PipelineConfig = PipelineConfig(),
+    nlist: int = 100,
+    nprobe: int = 32,
+) -> dict[str, DataFrame]:
+    """Full KG construction (north_star stages 1-5): returns dict of
+    DataFrames: triples (subj=doc_id), canonical (mention_id ->
+    canonical_id), canonical_triples (subj=canonical mention id), skips.
+
+    The mention DataFrame is cached: it feeds three consumers (entity
+    linking, the CC self-join, and the canonical mapping) — recomputing
+    the encode UDF three times would triple the dominant cost.
+    """
+    import numpy as np
+
+    from ..fixtures.generate import entities_to_spark
+    from ..operators.ann import link_ann_join, train_centroids
+    from ..operators.ccomp import canonical_mapping, connected_components
+
+    spans = explode_spans(documents)
+    encoded = encode_mentions(spans, cfg)
+    ok, skips = split_skips(encoded)
+    mentions = ok.select("doc_id", "span_idx", "kind", "embedding").cache()
+
+    emat = np.stack(entities_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=nlist, seed=cfg.seed)
+    entities = entities_to_spark(documents.sparkSession, entities_pdf)
+
+    links = link_ann_join(
+        mentions, entities, centroids, k=cfg.k, tau=cfg.tau, nprobe=nprobe
+    )
+    triples = triples_from_links(links)
+
+    # canonicalization: self-join edges -> CC -> canonical ids
+    # (mention-side centroids: train on a mention sample so probe cells
+    # reflect mention geometry, mirroring IVF training on stored vectors)
+    edges = mention_edges(mentions, centroids, cfg.tau_cc, nprobe=nprobe)
+    comps = connected_components(edges, salt_buckets=8)
+    all_mentions = mentions.select(
+        F.concat_ws("#", "doc_id", "span_idx").alias("node")
+    )
+    canonical = canonical_mapping(comps, all_mentions).select(
+        F.col("node").alias("mention_id"), "canonical_id"
+    )
+
+    canonical_triples = (
+        triples.withColumn(
+            "mention_id", F.concat_ws("#", "subj", "span_idx")
+        )
+        .join(canonical, "mention_id")
+        .select(
+            F.col("canonical_id").alias("subj"),
+            "pred",
+            "obj",
+            "score",
+            "span_idx",
+            "rank",
+        )
+    )
+    return {
+        "triples": triples,
+        "skips": skips,
+        "canonical": canonical,
+        "canonical_triples": canonical_triples,
+        "mentions": mentions,
+    }
+
+
 def build_triples_exact(
     documents: DataFrame,
     entities_pdf,
