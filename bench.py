@@ -1,0 +1,168 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the KG pipeline (fused encode + IVF-search
+-> triples) on a deterministic distributed corpus, plus the two-cluster-
+size scaling evidence required by BASELINE.md: the same KG job, same
+input, at N and 4N cores; efficiency = T_N / (4 * T_4N).
+
+Methodology notes:
+- OPENBLAS_NUM_THREADS=1: otherwise the low-parallelism session silently
+  uses 2 BLAS threads per worker and inflates its own throughput.
+- scaling levels default to 4 and 16 cores — both below the machine's
+  effective core count, so the 4x level isn't throttled by saturation.
+- each session runs a small warm-up job first (Python worker spawn +
+  broadcast deserialization are one-time costs, not steady-state).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR       testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS         main parallelism (default 32)
+  SPARK_GRAFT_BENCH_DOCS   KG corpus for the headline number (default 100000)
+  SPARK_GRAFT_SCALE_DOCS   KG corpus for the scaling runs (default 600000)
+  SPARK_GRAFT_SCALE_LO/HI  scaling core counts (default 4 / 16)
+  SPARK_GRAFT_SCALING      "0" to skip the scaling runs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "600000"))
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+N_ENTITIES = 2000
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_revenue",
+    "q5_region_revenue",
+    "window_topk_orders_per_cust",
+    "knn_bruteforce_cosine",
+    "doc_exact_dedup",
+    "events_lag_gap",
+]
+
+_CORPUS_CACHE: dict[int, str] = {}
+
+
+def _session(cores: int):
+    from cli_p_spark.session import get_spark
+
+    return get_spark(
+        app=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+
+
+def _corpus_path(spark, ents_pdf, n_docs: int) -> str:
+    """Materialize the deterministic corpus once (untimed input setup —
+    the real workload reads an existing table, it doesn't generate one)."""
+    import tempfile
+
+    from cli_p_spark.fixtures.distributed import distributed_documents
+
+    if n_docs not in _CORPUS_CACHE:
+        path = tempfile.mkdtemp(prefix=f"kg_corpus_{n_docs}_") + "/docs"
+        distributed_documents(spark, n_docs, ents_pdf).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _CORPUS_CACHE[n_docs] = path
+    return _CORPUS_CACHE[n_docs]
+
+
+def _kg_job(spark, ents_pdf, n_docs: int, parallelism: int) -> tuple[float, int]:
+    """read -> fused encode+IVF-search -> triples count; (wall_s, n)."""
+    import numpy as np
+
+    from cli_p_spark.config import PipelineConfig
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.fused import fused_triples
+
+    cfg = PipelineConfig(embed_partitions=parallelism)
+    docs = spark.read.parquet(_corpus_path(spark, ents_pdf, n_docs))
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+
+    t0 = time.time()
+    triples, _skips = fused_triples(docs, ents_pdf, centroids, cfg, nprobe=32)
+    n = triples.count()
+    return time.time() - t0, n
+
+
+def main():
+    from cli_p_spark.fixtures.generate import make_entities
+    from cli_p_spark.plans.contract import QUERIES
+
+    ents_pdf = make_entities(N_ENTITIES)
+    results: dict[str, float] = {}
+    extra: dict = {}
+
+    # --- main session: generate corpora, headline queries, KG headline ---
+    spark = _session(CPUS)
+    _corpus_path(spark, ents_pdf, N_DOCS)
+    if RUN_SCALING:
+        _corpus_path(spark, ents_pdf, SCALE_DOCS)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).collect()  # warm (scan cache, codegen)
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        results[name] = round(time.time() - t0, 3)
+
+    _kg_job(spark, ents_pdf, 2000, CPUS)  # warm python workers
+    wall, n_triples = _kg_job(spark, ents_pdf, N_DOCS, CPUS)
+    results["kg_pipeline"] = round(wall, 3)
+    extra["kg_docs_per_s"] = round(N_DOCS / wall, 1)
+    extra["kg_n_docs"] = N_DOCS
+    extra["kg_n_triples"] = n_triples
+    spark.stop()
+
+    # --- scaling evidence: same KG job, same input, N vs 4N cores ---
+    if RUN_SCALING:
+        for cores, tag in [(SCALE_LO, "lo"), (SCALE_HI, "hi")]:
+            spark = _session(cores)
+            _kg_job(spark, ents_pdf, 2000, cores)  # warm-up
+            wall, n = _kg_job(spark, ents_pdf, SCALE_DOCS, cores)
+            extra[f"scaling_{tag}"] = {
+                "cores": cores,
+                "wall_s": round(wall, 2),
+                "docs_per_s": round(SCALE_DOCS / wall, 1),
+                "n_triples": n,
+            }
+            spark.stop()
+        t_lo = extra["scaling_lo"]["wall_s"]
+        t_hi = extra["scaling_hi"]["wall_s"]
+        ratio = SCALE_HI / SCALE_LO
+        extra["scaling_efficiency"] = round(t_lo / (ratio * t_hi), 3)
+        extra["scaling_n_docs"] = SCALE_DOCS
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

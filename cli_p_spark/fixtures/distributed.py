@@ -1,0 +1,83 @@
+"""Distributed deterministic corpus generator.
+
+The pandas generator in generate.py is driver-side — fine for golden-oracle
+fixtures (hundreds of docs), a non-starter for bench corpora (10^5+) and a
+contradiction at 10^12-doc scale.  This generator runs inside mapInPandas
+over spark.range(n_docs): each doc's content is a pure function of
+(seed, doc_id), so the corpus is identical for any partitioning, any
+cluster size, any generation order — the property that makes the two-
+parallelism scaling benchmark an apples-to-apples comparison.
+
+Entity names ride in via a broadcast (the entity table is the small side,
+exactly like the linking index).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..config import SEED
+from .generate import SPANS_SCHEMA, vocabulary
+
+
+def distributed_documents(
+    spark,
+    n_docs: int,
+    entities_pdf: pd.DataFrame,
+    seed: int = SEED,
+    partitions: int | None = None,
+):
+    """documents(doc_id, spans) DataFrame, deterministic in (seed, doc_id)."""
+    vocab = np.array(vocabulary(seed=seed))
+    ent_names = entities_pdf["name"].to_numpy()
+    n_hubs = max(1, int(entities_pdf["is_hub"].sum()))
+    bc = spark.sparkContext.broadcast((vocab, ent_names, n_hubs))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab_b, names_b, n_hubs_b = bc.value
+        n_ents = len(names_b)
+        for pdf in batches:
+            out_ids, out_spans = [], []
+            for d in pdf["id"].to_numpy():
+                rng = np.random.default_rng((seed << 32) ^ int(d))
+                doc_id = f"doc{d:08d}"
+                n_spans = int(rng.integers(1, 13))
+                spans = []
+                offset = 0
+                for _ in range(n_spans):
+                    kind = "text" if rng.random() < 0.70 else "image"
+                    if rng.random() < 0.80:
+                        if rng.random() < 0.30:
+                            ent = names_b[int(rng.integers(0, n_hubs_b))]
+                        else:
+                            ent = names_b[int(rng.integers(0, n_ents))]
+                    else:
+                        ent = None
+                    if kind == "text":
+                        words = list(
+                            vocab_b[rng.integers(0, len(vocab_b),
+                                                 int(rng.integers(3, 9)))]
+                        )
+                        if ent is not None:
+                            pos = int(rng.integers(0, len(words) + 1))
+                            words = words[:pos] + ent.split() + words[pos:]
+                        text, media_ref = " ".join(words), ""
+                    else:
+                        text = ""
+                        base = (
+                            "/".join(ent.split()) if ent is not None
+                            else "noise"
+                        )
+                        media_ref = f"img://{base}/{int(rng.integers(16**6)):06x}"
+                    spans.append((kind, text, media_ref, offset))
+                    offset += max(len(text), len(media_ref)) + 1
+                out_ids.append(doc_id)
+                out_spans.append(spans)
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    rng_df = spark.range(0, n_docs, numPartitions=parts)
+    return rng_df.mapInPandas(gen, schema=SPANS_SCHEMA)

@@ -159,7 +159,12 @@ def make_encode_udf(dim: int = DIM, seed: int = SEED):
     def encode_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in batches:
             mat, ok = encode_batch(s, dim=dim, seed=seed)
-            rows = [mat[i].tolist() if ok[i] else None for i in range(len(s))]
-            yield pd.Series(rows, index=s.index)
+            # Series of ndarrays, not lists: Arrow converts a float32
+            # ndarray row ~10x cheaper than 64 boxed Python floats
+            rows = list(mat)
+            out = pd.Series(rows, index=s.index, dtype=object)
+            if not ok.all():
+                out[~ok] = None
+            yield out
 
     return encode_udf

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..config import NORM_EPS, SEED
-from .link import cosine_expr
+from .link import _entity_arrays, cosine_expr
 from .topk import topk_per_group
 
 
@@ -127,6 +127,184 @@ def add_probes(
             yield pd.Series(list(part.astype("int32")), index=s.index)
 
     return df.withColumn(probes_col, probes_udf(embedding_col))
+
+
+def link_ivf_broadcast(
+    mentions: DataFrame,
+    entities_pdf: pd.DataFrame,
+    centroids: np.ndarray,
+    k: int = 1,
+    tau: float = 0.0,
+    nprobe: int = 32,
+    embedding_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a broadcast bucketed index — the scale workhorse.
+
+    This is faiss IndexIVFFlat.search (query-index.py:111) re-expressed
+    for Spark's execution model: the bucketed entity index (cell ->
+    [entity ids, entity matrix]) is a broadcast variable; a mapInPandas
+    pass over mentions computes, per Arrow batch, the top-nprobe cells
+    (Q @ C.T) and one GEMM per probed cell, merging running top-k.
+    ZERO shuffle: 100 TB of mentions stream through executors while only
+    the small index moves — the same asymmetry the reference exploits by
+    loading the whole faiss index per process (query-index.py:29).
+
+    nprobe >= nlist degenerates to exact search (reference parity).
+    Deterministic: scores float64, ties broken by entity_id ascending.
+    """
+    spark = mentions.sparkSession
+    bc = spark.sparkContext.broadcast(
+        build_ivf_broadcast_value(entities_pdf, centroids)
+    )
+
+    keep_fields = [f for f in mentions.schema.fields if f.name != embedding_col]
+    out_schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep_fields)
+        + ", entity_id string, score double, rank int"
+    )
+    keep_names = [f.name for f in keep_fields]
+    kk, p = k, nprobe
+
+    def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = _IvfIndex.from_broadcast(bc.value)
+        for pdf in batches:
+            pdf = pdf[pdf[embedding_col].notna()]
+            if pdf.empty:
+                continue
+            Q = np.stack(pdf[embedding_col].to_numpy())
+            cand, sc64 = idx.search(Q, kk, p)
+            yield from _emit_topk_cand(
+                pdf, keep_names, cand, sc64, idx.eids, kk, tau
+            )
+
+    return mentions.mapInPandas(search, schema=out_schema)
+
+
+class _IvfIndex:
+    """Executor-side IVF search state (from one broadcast tuple).
+
+    search(): sgemm preselect (f32, ~6x dgemm) of k+3 candidates under the
+    IVF probe mask, then f64 rescore of just those candidates — exact,
+    partition-independent ranking (the margin absorbs f32 rounding)."""
+
+    MARGIN = 3
+
+    def __init__(self, eids, ematT, assign, CT):
+        self.eids = eids
+        self.ematT = ematT
+        self.assign = assign
+        self.CT = CT
+        self.ematT32 = ematT.astype(np.float32)
+        self.CT32 = CT.astype(np.float32)
+
+    @classmethod
+    def from_broadcast(cls, value):
+        return cls(*value)
+
+    # rows per kernel block: keeps the [block, E] f32 intermediates inside
+    # cache instead of streaming 80MB matrices through RAM per Arrow batch
+    BLOCK = 1024
+
+    def search(self, Q: np.ndarray, k: int, nprobe: int):
+        if len(Q) <= self.BLOCK:
+            return self._search_block(Q, k, nprobe)
+        outs = [
+            self._search_block(Q[i: i + self.BLOCK], k, nprobe)
+            for i in range(0, len(Q), self.BLOCK)
+        ]
+        return (
+            np.concatenate([c for c, _ in outs], axis=0),
+            np.concatenate([s for _, s in outs], axis=0),
+        )
+
+    def _search_block(self, Q: np.ndarray, k: int, nprobe: int):
+        """Optimistic selection: take the top-kc entities UNMASKED via
+        cheap argmax sweeps (SIMD max-scan beats introselect ~4x and needs
+        no [n, E] probe-mask gather), then verify each candidate's cell
+        against the row's probed cells — only kc lookups per row.  A row
+        falls back to the exact masked scan only when fewer than k of its
+        unmasked top-kc live in probed cells (rare: the near-top entities
+        are exactly the ones whose cells get probed).  Result is
+        bit-identical to the full masked scan: any allowed entity outside
+        the unmasked top-kc scores below every allowed entity inside it."""
+        n = len(Q)
+        E = self.ematT32.shape[1]
+        n_cells = self.CT.shape[1]
+        pp = min(nprobe, n_cells)
+        Q32 = Q.astype(np.float32, copy=False)
+        scores32 = Q32 @ self.ematT32  # [n, E]
+        kc = min(k + self.MARGIN, E)
+        rowr = np.arange(n)
+
+        # multi-argmax selection, ordered by (-score, entity index)
+        S = scores32.copy()
+        sel = np.empty((n, kc), dtype=np.int64)
+        for c in range(kc):
+            am = np.argmax(S, axis=1)
+            sel[:, c] = am
+            S[rowr, am] = -np.inf
+        del S
+
+        if pp < n_cells:
+            cs = Q32 @ self.CT32  # [n, nlist]
+            kth = -np.partition(-cs, pp - 1, axis=1)[:, pp - 1]
+            ok = cs[rowr[:, None], self.assign[sel]] >= kth[:, None]
+            need_fallback = ok.sum(axis=1) < min(k, kc)
+            sel_sc = scores32[rowr[:, None], sel]
+            sel_sc[~ok] = -np.inf
+            if need_fallback.any():
+                fb = np.where(need_fallback)[0]
+                fsc = scores32[fb]
+                fallowed = cs[fb][:, self.assign] >= kth[fb, None]
+                fsc = np.where(fallowed, fsc, -np.inf)
+                fcand = np.argpartition(-fsc, kc - 1, axis=1)[:, :kc] \
+                    if kc < E else np.tile(np.arange(E), (len(fb), 1))
+                sel[fb] = fcand
+                sel_sc[fb] = fsc[np.arange(len(fb))[:, None], fcand]
+        else:
+            sel_sc = scores32[rowr[:, None], sel]
+
+        # f64 rescore of the candidate set only (exact ranking)
+        Ecand = self.ematT.T[sel]  # [n, kc, dim]
+        sc64 = np.einsum("nd,ncd->nc", Q.astype(np.float64), Ecand)
+        sc64[~np.isfinite(sel_sc)] = -np.inf
+        return sel, sc64
+
+
+def build_ivf_broadcast_value(entities_pdf: pd.DataFrame,
+                              centroids: np.ndarray):
+    """The broadcast payload for _IvfIndex (shared by linking operators)."""
+    eids, emat = _entity_arrays(entities_pdf)
+    assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
+    return (
+        eids,
+        np.ascontiguousarray(emat.T),
+        assign,
+        np.ascontiguousarray(centroids.T),
+    )
+
+
+def _emit_topk_cand(pdf, keep_names, cand, scores, eids, k, tau):
+    """Top-k row assembly over a per-row candidate set: sort candidates by
+    (-f64 score, entity index asc), keep k, tau filter, rank column.
+    Entity ids pre-sorted ascending so the index IS the entity_id
+    tie-break."""
+    n, ncand = scores.shape
+    order = np.lexsort((cand, -scores), axis=1)
+    cand = np.take_along_axis(cand, order, axis=1)[:, :k]
+    sc = np.take_along_axis(scores, order, axis=1)[:, :k]
+    ranks = np.tile(np.arange(1, cand.shape[1] + 1), (n, 1))
+    mask = (sc >= tau) & np.isfinite(sc)
+    flat = mask.ravel()
+    row_idx = np.repeat(np.arange(n), cand.shape[1])[flat]
+    if len(row_idx) == 0:
+        return
+    out = pdf[keep_names].reset_index(drop=True).iloc[row_idx]
+    out = out.reset_index(drop=True)
+    out["entity_id"] = eids[cand.ravel()[flat]]
+    out["score"] = sc.ravel()[flat]
+    out["rank"] = ranks.ravel()[flat].astype("int32")
+    yield out
 
 
 def link_ann_join(

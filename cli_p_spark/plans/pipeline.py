@@ -127,9 +127,14 @@ def build_triples_ann(
     cfg: PipelineConfig = PipelineConfig(),
     nlist: int = 100,
     nprobe: int = 32,
+    strategy: str = "broadcast",
 ) -> tuple[DataFrame, DataFrame]:
-    """M3: ANN linking via the IVF-style bucket equi-join (operators/ann.py).
+    """M3: ANN linking (operators/ann.py).
 
+    strategy='broadcast': IVF search vs broadcast bucketed index inside
+    mapInPandas — zero shuffle, the default (entity index fits executors,
+    the reference's own regime).  strategy='join': bucket equi-join — for
+    entity sides too big to broadcast.  Identical results (both tested).
     nlist/nprobe defaults are the reference's own (build-index.py:81,
     query-index.py:30); nprobe=nlist degenerates to exact search.
     P/R vs the exact oracle gated >=0.95 in tests/test_ann_link.py.
@@ -137,7 +142,11 @@ def build_triples_ann(
     import numpy as np
 
     from ..fixtures.generate import entities_to_spark
-    from ..operators.ann import link_ann_join, train_centroids
+    from ..operators.ann import (
+        link_ann_join,
+        link_ivf_broadcast,
+        train_centroids,
+    )
 
     spans = explode_spans(documents)
     encoded = encode_mentions(spans, cfg)
@@ -146,11 +155,17 @@ def build_triples_ann(
 
     emat = np.stack(entities_pdf["embedding"].to_numpy())
     centroids = train_centroids(emat, nlist=nlist, seed=cfg.seed)
-    entities = entities_to_spark(documents.sparkSession, entities_pdf)
 
-    links = link_ann_join(
-        mentions, entities, centroids, k=cfg.k, tau=cfg.tau, nprobe=nprobe
-    )
+    if strategy == "broadcast":
+        links = link_ivf_broadcast(
+            mentions, entities_pdf, centroids,
+            k=cfg.k, tau=cfg.tau, nprobe=nprobe,
+        )
+    else:
+        entities = entities_to_spark(documents.sparkSession, entities_pdf)
+        links = link_ann_join(
+            mentions, entities, centroids, k=cfg.k, tau=cfg.tau, nprobe=nprobe
+        )
     return triples_from_links(links), skips
 
 

@@ -35,6 +35,11 @@ def get_spark(
         # bounded Arrow batches ~ reference's split_table chunking
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-scale file splits: default 128MB bins collapse a small
+        # corpus into 1-2 scan tasks, serializing the pre-shuffle map side
+        # (at warehouse scale files are plentiful and this barely matters)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

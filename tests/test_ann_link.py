@@ -40,6 +40,58 @@ def test_nprobe_equals_nlist_is_exact(spark, corpus_small):
     assert (merged["score_s"] - merged["score_o"]).abs().max() < 1e-9
 
 
+def test_broadcast_and_join_strategies_agree(spark, corpus_small):
+    """Two physical strategies, one logical operator: the IVF broadcast
+    search and the bucket equi-join must produce identical links."""
+    docs_pdf, ents_pdf = corpus_small
+    cfg = PipelineConfig()
+    docs = documents_to_spark(spark, docs_pdf)
+    key = ["subj", "span_idx", "pred", "obj"]
+    a, _ = build_triples_ann(docs, ents_pdf, cfg, strategy="broadcast")
+    b, _ = build_triples_ann(docs, ents_pdf, cfg, strategy="join")
+    ra = sorted(map(tuple, a.select(*key).collect()))
+    rb = sorted(map(tuple, b.select(*key).collect()))
+    assert ra == rb
+
+
+def test_broadcast_ivf_pr_geq_095(spark, corpus_small):
+    docs_pdf, ents_pdf = corpus_small
+    cfg = PipelineConfig()
+    docs = documents_to_spark(spark, docs_pdf)
+    triples, _ = build_triples_ann(
+        docs, ents_pdf, cfg, nlist=100, nprobe=32, strategy="broadcast"
+    )
+    golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
+    p, r = precision_recall(triples.toPandas(), golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_fused_path_agrees_with_modular(spark, corpus_small):
+    """Fused encode+search emits the same triples AND the same skips as
+    the modular encode->link chain."""
+    import numpy as np
+
+    from cli_p_spark.fixtures.generate import documents_to_spark as to_spark
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.fused import fused_triples
+
+    docs_pdf, ents_pdf = corpus_small
+    cfg = PipelineConfig()
+    docs = to_spark(spark, docs_pdf)
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+    ft, fs = fused_triples(docs, ents_pdf, centroids, cfg, nprobe=32)
+    mt, ms = build_triples_ann(docs, ents_pdf, cfg, strategy="broadcast")
+    key = ["subj", "span_idx", "pred", "obj"]
+    assert sorted(map(tuple, ft.select(*key).collect())) == sorted(
+        map(tuple, mt.select(*key).collect())
+    )
+    skey = ["doc_id", "span_idx"]
+    assert sorted(map(tuple, fs.select(*skey).collect())) == sorted(
+        map(tuple, ms.select(*skey).collect())
+    )
+
+
 def test_centroids_deterministic():
     from cli_p_spark.operators.ann import train_centroids
 
