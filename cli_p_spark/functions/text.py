@@ -1,0 +1,133 @@
+"""Text-analysis functions for corpus curation — all pure Catalyst
+expressions (whole-stage codegen, SQL-oracle-able) except the winnowing
+fingerprint, which is an Arrow pandas UDF.
+
+These generalize the reference's minimal string handling (extension
+filter build-index.py:32-34, lowercase prefix parsing query-index.py) to
+the document-quality layer a 100 TB training-data pipeline needs."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..config import SEED
+
+# stopword inventories for the language-ID heuristic: deterministic,
+# SQL-expressible (the DuckDB oracle uses the same lists), intentionally
+# tiny — the point is the Spark plumbing, a real model slots in behind
+# the same column contract
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "una"],
+}
+
+
+def token_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, " "))
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    out = F.lit(0)
+    for w in words:
+        out = out + F.size(F.split(padded, f" {w} ")) - F.lit(1)
+    return out
+
+
+def lang_id(col: str | Column) -> Column:
+    """Best-scoring language by stopword-marker frequency; 'und'
+    (undetermined) when no marker hits.  Ties break alphabetically
+    (deterministic).  n-gram-frequency heuristic shape: swap the marker
+    lists for character-n-gram profiles without touching callers."""
+    c = F.col(col) if isinstance(col, str) else col
+    scores = [
+        F.struct(
+            _marker_hits(c, words).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*scores)  # struct compare: hits desc... greatest picks
+    # max by (hits, lang); reverse-sorted input means ties -> earlier alpha
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: alpha ratio, mean word length
+    band, and stopword presence — the length/punct/stopword-ratio family.
+    Deterministic, pure SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    length = F.length(c)
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    alpha_ratio = alpha / F.nullif(length, F.lit(0))
+    n_tok = F.size(F.split(c, " "))
+    mean_wl = (length - n_tok + 1) / F.nullif(n_tok, F.lit(0))
+    wl_ok = F.when((mean_wl >= 2) & (mean_wl <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = _marker_hits(c, LANG_MARKERS["en"])
+    stop_ok = F.when(stop_hits > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        (F.coalesce(alpha_ratio, F.lit(0.0)) + wl_ok + stop_ok) / F.lit(3.0),
+        6,
+    )
+
+
+def content_fingerprint(col: str | Column) -> Column:
+    """Exact-content 64-bit fingerprint: xxhash64 of normalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))
+
+
+def make_winnow_udf(w: int = 8, k: int = 4, seed: int = SEED):
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    rolling hash over word k-grams, min per window of w, distinct mins ->
+    sorted array<long>.  Robust to local edits — near-dup docs share most
+    fingerprint elements.  Arrow-vectorized per batch."""
+    import hashlib
+
+    def stable(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(f"{seed}:{s}".encode(), digest_size=8).digest(),
+            "little", signed=False,
+        ) >> 1
+
+    @pandas_udf("array<long>")
+    def winnow(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            out = []
+            for text in s:
+                toks = (text or "").lower().split()
+                if len(toks) < k:
+                    out.append(
+                        np.array([stable(" ".join(toks))], dtype=np.int64)
+                        if toks else np.array([], dtype=np.int64)
+                    )
+                    continue
+                hs = np.fromiter(
+                    (
+                        stable(" ".join(toks[i: i + k]))
+                        for i in range(len(toks) - k + 1)
+                    ),
+                    dtype=np.int64,
+                )
+                if len(hs) <= w:
+                    mins = np.array([hs.min()])
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(hs, w)
+                    mins = win.min(axis=1)
+                out.append(np.unique(mins))
+            yield pd.Series(out, dtype=object)
+
+    return winnow

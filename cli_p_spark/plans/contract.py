@@ -553,6 +553,316 @@ FROM embeddings GROUP BY label
 
 
 # ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def doc_lang_id(spark, sf_dir):
+    """Stopword-marker language-ID heuristic; predicted-language counts."""
+    from ..functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(lang_id("text").alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _hits_sql(lang_words: list[str]) -> str:
+    return " + ".join(
+        f"(len(string_split(_p, ' {w} ')) - 1)" for w in lang_words
+    )
+
+
+def _lang_sql() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    cols = ",\n       ".join(
+        f"({_hits_sql(ws)}) AS _{lang}" for lang, ws in LANG_MARKERS.items()
+    )
+    # tie-break mirrors Spark struct-max: max (hits, lang) — check the
+    # lexicographically larger language first
+    return f"""
+SELECT lang_pred, COUNT(*) AS n_docs FROM (
+  SELECT CASE
+           WHEN greatest(_en,_de,_fr,_es) = 0 THEN 'und'
+           WHEN _fr = greatest(_en,_de,_fr,_es) THEN 'fr'
+           WHEN _es = greatest(_en,_de,_fr,_es) THEN 'es'
+           WHEN _en = greatest(_en,_de,_fr,_es) THEN 'en'
+           ELSE 'de'
+         END AS lang_pred
+  FROM (SELECT {cols}
+        FROM (SELECT ' ' || lower(text) || ' ' AS _p FROM documents)))
+GROUP BY lang_pred
+"""
+
+
+def doc_quality_composite(spark, sf_dir):
+    from ..functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.avg(quality_score("text")), 4).alias("avg_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+QUALITY_COMPOSITE_SQL = """
+SELECT source, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n_docs FROM (
+  SELECT source,
+         ROUND((COALESCE(length(regexp_replace(text,'[^a-zA-Z]','','g'))
+                         / NULLIF(length(text),0), 0.0)
+                + CASE WHEN (length(text) - len(string_split(text,' ')) + 1)
+                            / NULLIF(len(string_split(text,' ')),0)
+                       BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN (len(string_split(' '||lower(text)||' ',' the '))-1)
+                          + (len(string_split(' '||lower(text)||' ',' and '))-1)
+                          + (len(string_split(' '||lower(text)||' ',' of '))-1)
+                          + (len(string_split(' '||lower(text)||' ',' to '))-1)
+                          + (len(string_split(' '||lower(text)||' ',' a '))-1)
+                       > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS q
+  FROM documents)
+GROUP BY source
+"""
+
+
+def doc_fingerprint_dedup(spark, sf_dir):
+    """Exact-content fingerprint: distinct-fingerprint count must equal
+    distinct normalized text count (hash values themselves are engine-
+    specific; cardinality is the invariant)."""
+    from ..functions.text import content_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(content_fingerprint("text")).alias("n_distinct"),
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS n_distinct
+FROM documents
+"""
+
+
+def doc_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs via shingle inverted index."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.02)
+    return pairs.select(
+        "src", "dst", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+NGRAM_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, string_split(lower(text), ' ') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM grams GROUP BY id),
+inter AS (
+  SELECT a.id AS src, b.id AS dst, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT src, dst,
+       ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = src JOIN sizes sb ON sb.id = dst
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.02
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup (UDF-hash based -> rows-only where hashes are engine-specific)
+# ---------------------------------------------------------------------------
+
+def _docs_as_text(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+
+def minhash_dedup_pairs(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+
+    d = _docs_as_text(spark, sf_dir)
+    return minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+
+
+def simhash_dedup_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+
+    d = _docs_as_text(spark, sf_dir)
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+def embedding_neardup_cosine(spark, sf_dir):
+    """Cosine pairs >= 0.4 via the IVF self-join at nprobe=nlist
+    (exhaustive => exact => SQL-oracle-able)."""
+    from ..operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        e, "embedding", "vec_id", tau=0.4, nlist=32, nprobe=32, k=50
+    )
+    return pairs.select(
+        "src", "dst", F.round("cosine", 4).alias("cosine")
+    )
+
+
+NEARDUP_SQL = """
+SELECT CAST(a.vec_id AS VARCHAR) AS src, CAST(b.vec_id AS VARCHAR) AS dst,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+def knn_ivf_exhaustive(spark, sf_dir):
+    """Same oracle as knn_bruteforce_cosine, different physical strategy:
+    the broadcast IVF search at nprobe=nlist (exact).  Two engines, two
+    Spark strategies, one answer."""
+    import numpy as np
+
+    from ..operators.ann import link_ivf_broadcast, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cand_pdf = e.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").cast("string").alias("entity_id"), "embedding"
+    ).toPandas()
+    emat = np.stack(cand_pdf["embedding"].to_numpy())
+    norms = np.linalg.norm(emat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cand_pdf = cand_pdf.assign(
+        embedding=list((emat / norms).astype(np.float32))
+    )
+    # entity_id sorts lexicographically: zero-pad so the numeric tiebreak
+    # survives the string sort
+    cand_pdf["entity_id"] = cand_pdf["entity_id"].str.zfill(8)
+    centroids = train_centroids(emat / norms, nlist=16, seed=42)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double"),
+        )
+    )
+    probes = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x / F.when(nrm < 1e-9, F.lit(1.0)).otherwise(nrm))
+            .cast("float"),
+        ).alias("embedding"),
+    )
+    links = link_ivf_broadcast(
+        probes, cand_pdf, centroids, k=5, tau=-1.0, nprobe=16
+    )
+    return links.select(
+        "probe_id",
+        F.col("entity_id").cast("long").alias("vec_id"),
+        F.round("score", 4).alias("cos_sim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# json / grouping sets / range join
+# ---------------------------------------------------------------------------
+
+def events_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       ROUND(AVG(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+       MAX(CAST(props->>'$.k' AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def cube_orders_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 3).alias("sum_price"),
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 3) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def range_join_ship_lag(spark, sf_dir):
+    """Equi+range theta join: lineitems shipped within 90 days of their
+    order date, bucketed by lag week."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 90))
+    )
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy(F.floor(lag_days / 7).alias("lag_week")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 3).alias("sum_price"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT CAST(FLOOR(date_diff('day', o_orderdate, l_shipdate) / 7) AS BIGINT)
+         AS lag_week,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 3) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (synthesized media; rows-only — binary fixtures, no SQL twin)
+# ---------------------------------------------------------------------------
+
+def media_decode_stats(spark, sf_dir):
+    from ..multimodal.media import decode_media, make_media_df
+
+    media = make_media_df(spark, n_media=60)
+    dec = decode_media(media)
+    return dec.groupBy("format", "skip_reason").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("payload_bytes"), 2).alias("avg_bytes"),
+    )
+
+
+def media_frame_plan(spark, sf_dir):
+    from ..multimodal.media import (
+        decode_media,
+        frame_sample_plan,
+        make_media_df,
+    )
+
+    media = make_media_df(spark, n_media=60)
+    return frame_sample_plan(decode_media(media), every_n=24)
+
+
+# ---------------------------------------------------------------------------
 # KG pipeline entries (no SQL oracle — gated by pytest vs NumPy oracle)
 # ---------------------------------------------------------------------------
 
@@ -649,6 +959,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
+    "doc_lang_id": doc_lang_id,
+    "doc_quality_composite": doc_quality_composite,
+    "doc_fingerprint_dedup": doc_fingerprint_dedup,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "minhash_dedup_pairs": minhash_dedup_pairs,
+    "simhash_dedup_pairs": simhash_dedup_pairs,
+    "embedding_neardup_cosine": embedding_neardup_cosine,
+    "knn_ivf_exhaustive": knn_ivf_exhaustive,
+    "events_json_extract": events_json_extract,
+    "cube_orders_status_priority": cube_orders_status_priority,
+    "range_join_ship_lag": range_join_ship_lag,
+    "media_decode_stats": media_decode_stats,
+    "media_frame_plan": media_frame_plan,
     "kg_triples_exact": kg_triples_exact,
     "kg_span_roundtrip": kg_span_roundtrip,
     "kg_skips_quarantine": kg_skips_quarantine,
@@ -679,6 +1002,17 @@ ORACLES: dict[str, str] = {
     "doc_quality_score": QUALITY_SQL,
     "knn_bruteforce_cosine": KNN_SQL,
     "embedding_norm_stats": NORM_SQL,
-    # kg_* entries: non-SQL-expressible (encoder UDF) -> rows-only check;
-    # real gate is tests/test_pipeline_exact.py vs the NumPy exact oracle.
+    "doc_lang_id": _lang_sql(),
+    "doc_quality_composite": QUALITY_COMPOSITE_SQL,
+    "doc_fingerprint_dedup": FINGERPRINT_SQL,
+    "doc_ngram_jaccard_pairs": NGRAM_SQL,
+    "embedding_neardup_cosine": NEARDUP_SQL,
+    "knn_ivf_exhaustive": KNN_SQL,
+    "events_json_extract": JSON_SQL,
+    "cube_orders_status_priority": CUBE_SQL,
+    "range_join_ship_lag": RANGE_JOIN_SQL,
+    # rows-only (engine-specific hashes / binary fixtures / encoder UDF):
+    # minhash_dedup_pairs, simhash_dedup_pairs, media_*, kg_* — the kg_*
+    # real gate is tests/ vs the NumPy exact oracle, dedup gates are
+    # tests/test_dedup.py vs exact Python oracles.
 }

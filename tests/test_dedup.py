@@ -1,0 +1,157 @@
+"""Dedup operators vs exact Python oracles on a synthetic near-dup corpus."""
+
+import random
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from cli_p_spark.operators.dedup import (
+    dedup_keep_representatives,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+def _neardup_corpus(n_base=60, seed=11):
+    """Docs where i*3 is a base text, i*3+1 a light mutation (near-dup),
+    i*3+2 an unrelated text."""
+    rnd = random.Random(seed)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    for i in range(n_base):
+        base = rnd.sample(vocab, 30)
+        mutated = list(base)
+        mutated[rnd.randrange(30)] = rnd.choice(vocab)  # 1-word edit
+        other = rnd.sample(vocab, 30)
+        rows.append((f"d{i:03d}a", " ".join(base)))
+        rows.append((f"d{i:03d}b", " ".join(mutated)))
+        rows.append((f"d{i:03d}c", " ".join(other)))
+    # plus exact duplicates
+    rows.append(("dupX1", rows[0][1]))
+    rows.append(("dupX2", rows[0][1]))
+    return rows
+
+
+def _jaccard(a, b, w=3):
+    sa = {" ".join(a.split()[i: i + w]) for i in range(len(a.split()) - w + 1)}
+    sb = {" ".join(b.split()[i: i + w]) for i in range(len(b.split()) - w + 1)}
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+@pytest.fixture(scope="module")
+def neardup_df(spark):
+    rows = _neardup_corpus()
+    return rows, spark.createDataFrame(rows, "id string, text string")
+
+
+def test_exact_dedup(spark, neardup_df):
+    rows, df = neardup_df
+    out = {
+        r["content_hash"]: (r["keep_id"], r["n_copies"])
+        for r in exact_dedup(df, "text", "id").collect()
+    }
+    dup_group = [v for v in out.values() if v[1] == 3]
+    assert dup_group == [("d000a", 3)]  # d000a + dupX1 + dupX2
+    assert sum(v[1] for v in out.values()) == len(rows)
+
+
+def test_minhash_recall_and_precision(spark, neardup_df):
+    rows, df = neardup_df
+    pairs = {
+        (r["src"], r["dst"])
+        for r in minhash_lsh_pairs(
+            df, "text", "id", jaccard_threshold=0.5
+        ).collect()
+    }
+    # oracle: all pairs with true shingle-Jaccard >= 0.62 must be found
+    # (estimator noise band: require found pairs to be >= 0.38 true)
+    texts = dict(rows)
+    ids = sorted(texts)
+    truth_hi = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if _jaccard(texts[a], texts[b]) >= 0.62
+    }
+    missed = truth_hi - pairs
+    assert not missed, f"missed high-sim pairs: {sorted(missed)[:5]}"
+    for a, b in pairs:
+        assert _jaccard(texts[a], texts[b]) >= 0.38, (a, b)
+
+
+def test_simhash_finds_exact_and_near(spark, neardup_df):
+    rows, df = neardup_df
+    pairs = {
+        (r["src"], r["dst"]): r["hamming"]
+        for r in simhash_pairs(df, "text", "id", max_hamming=3).collect()
+    }
+    assert pairs[("d000a", "dupX1")] == 0  # exact copies: distance 0
+    assert pairs[("d000a", "dupX2")] == 0
+    assert pairs[("dupX1", "dupX2")] == 0
+
+
+def test_ngram_jaccard_matches_oracle(spark, neardup_df):
+    rows, df = neardup_df
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "id", n=3, threshold=0.6
+        ).collect()
+    }
+    texts = dict(rows)
+    ids = sorted(texts)
+    oracle = {
+        (a, b): _jaccard(texts[a], texts[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if _jaccard(texts[a], texts[b]) >= 0.6
+    }
+    assert got.keys() == oracle.keys()
+    for k in oracle:
+        assert abs(got[k] - oracle[k]) < 1e-9
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(40):
+        rows.append((i * 2, base[i].tolist()))
+        jitter = base[i] + rng.standard_normal(32).astype(np.float32) * 0.02
+        rows.append((i * 2 + 1, (jitter / np.linalg.norm(jitter)).tolist()))
+    df = spark.createDataFrame(rows, "vid long, embedding array<float>")
+    pairs = embedding_neardup_pairs(
+        df, "embedding", "vid", tau=0.98, nlist=8, nprobe=8
+    ).collect()
+    got = {(r["src"], r["dst"]) for r in pairs}
+    expected = {(str(i * 2), str(i * 2 + 1)) for i in range(40)}
+    assert expected <= got
+    # no far pairs: verify all found pairs truly >= 0.98 cosine
+    emb = {str(r[0]): np.array(r[1]) for r in rows}
+    for a, b in got:
+        c = float(emb[a] @ emb[b])
+        assert c >= 0.98 - 1e-6, (a, b, c)
+
+
+def test_keep_representatives(spark, neardup_df):
+    rows, df = neardup_df
+    pairs = ngram_jaccard_pairs(df, "text", "id", n=3, threshold=0.6)
+    kept = dedup_keep_representatives(df, pairs, "id")
+    kept_ids = {r["id"] for r in kept.select("id").collect()}
+    # cluster {d000a-ish near-dups}: only the min id survives
+    assert "d000a" in kept_ids
+    texts = dict(rows)
+    ids = sorted(texts)
+    clustered = {
+        b
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if _jaccard(texts[a], texts[b]) >= 0.6
+    }
+    assert kept_ids == set(texts) - clustered
