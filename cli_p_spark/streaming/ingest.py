@@ -1,0 +1,118 @@
+"""Structured Streaming surface: incremental KG ingest + event analytics.
+
+The reference is batch+REPL; its closest streaming concern is the
+documented unsafety of concurrent build/query (README.md:46-51 — stale
+index reads, corruption under parallel builders).  Structured Streaming
+fixes that by construction: one writer (the micro-batch sink), checkpoint
+offsets for exactly-once source progress, and append-only triple output.
+
+Three building blocks:
+
+- ``incremental_triples``: file-source document stream -> foreachBatch ->
+  the SAME fused encode+IVF-link operator the batch pipeline uses
+  (operators/fused.py) -> append partitioned triples.  One code path for
+  batch and streaming (the Kappa shape): a micro-batch is just a small
+  corpus.
+- ``windowed_event_counts``: event-time tumbling window + watermark —
+  late rows beyond the watermark are dropped by the engine (the
+  watermark/late-data checklist item).
+- ``stream_dedup``: dropDuplicatesWithinWatermark on a content key —
+  streaming exact-dedup with bounded state, the streaming twin of
+  operators/dedup.exact_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..fixtures.generate import SPANS_SCHEMA
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of documents (new parquet files under input_dir
+    are discovered per micro-batch; schema is the input_hint shape)."""
+    return (
+        spark.readStream.schema(SPANS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def incremental_triples(
+    docs_stream: DataFrame,
+    entities_pdf,
+    centroids,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    nprobe: int = 32,
+):
+    """Start the incremental KG ingest; returns the StreamingQuery.
+
+    foreachBatch reuses the batch fused operator verbatim — streaming
+    correctness therefore inherits the batch P/R gate.  Source progress
+    is checkpointed; the sink appends per micro-batch (idempotent replay
+    of a failed batch can duplicate appended rows — at-least-once; the
+    downstream exact-dedup key (subj, span_idx, pred, obj) makes the
+    graph idempotent, mirroring the reference's re-ingest semantics,
+    build-index.py:42-44)."""
+    from ..operators.fused import fused_triples
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        triples, skips = fused_triples(
+            batch_df, entities_pdf, centroids, cfg, nprobe=nprobe
+        )
+        (
+            triples.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(f"{out_dir}/triples")
+        )
+        skips.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/skips")
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling:
+    rows later than the watermark are dropped, window state is evicted
+    once the watermark passes (bounded state at unbounded input)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: first occurrence of each content hash wins;
+    duplicate arrivals within the watermark horizon are dropped with
+    bounded state (dropDuplicatesWithinWatermark)."""
+    keyed = docs_stream.withColumn(
+        "content_hash", F.md5(F.to_json(F.col("spans")))
+    )
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

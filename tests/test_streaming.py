@@ -1,0 +1,145 @@
+"""Structured Streaming: incremental KG ingest equals the batch result;
+watermarked windows handle late data; streaming dedup drops repeats."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from cli_p_spark.config import PipelineConfig
+from cli_p_spark.fixtures.generate import documents_to_spark
+from cli_p_spark.operators.ann import train_centroids
+from cli_p_spark.operators.fused import fused_triples
+from cli_p_spark.streaming.ingest import (
+    incremental_triples,
+    stream_documents,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+
+def test_incremental_equals_batch(spark, corpus_small, tmp_path):
+    """Stream the corpus as two file drops; the accumulated triples must
+    equal one batch run over the whole corpus."""
+    docs_pdf, ents_pdf = corpus_small
+    cfg = PipelineConfig()
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+
+    in_dir = str(tmp_path / "in")
+    half = len(docs_pdf) // 2
+    documents_to_spark(spark, docs_pdf.iloc[:half]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    documents_to_spark(spark, docs_pdf.iloc[half:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = incremental_triples(
+        stream_documents(spark, in_dir),
+        ents_pdf,
+        centroids,
+        out_dir,
+        str(tmp_path / "ckpt"),
+        cfg,
+    )
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{out_dir}/triples")
+            .select("subj", "span_idx", "pred", "obj")
+            .collect(),
+        )
+    )
+    batch_t, _ = fused_triples(
+        documents_to_spark(spark, docs_pdf), ents_pdf, centroids, cfg
+    )
+    batch = sorted(
+        map(tuple, batch_t.select("subj", "span_idx", "pred", "obj").collect())
+    )
+    assert streamed == batch
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    # two checkpointed availableNow runs: run 1 advances the watermark to
+    # 00:20 and closes the 00:00/00:01 windows; run 2 delivers a row at
+    # 00:00:30 — beyond the (checkpoint-restored) watermark -> dropped
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+
+    def drop_file(rows):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, event_type string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop(
+            "ts_s"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp"
+        ).parquet(in_dir)
+        q = (
+            windowed_event_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop_file([
+        (1, "2024-01-01 00:00:10", "click"),
+        (2, "2024-01-01 00:00:50", "click"),
+        (3, "2024-01-01 00:01:10", "view"),
+        (4, "2024-01-01 00:30:00", "click"),  # advances the watermark
+    ])
+    run_once()
+    drop_file([(5, "2024-01-01 00:00:30", "click")])  # late -> dropped
+    run_once()
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got.get(("2024-01-01 00:00:00", "click")) == 2  # late row absent
+    assert got.get(("2024-01-01 00:01:00", "view")) == 1
+    # the 00:30 window never closes (no later event) -> withheld by append
+    assert ("2024-01-01 00:30:00", "click") not in got
+
+
+def test_stream_dedup_drops_repeats(spark, corpus_small, tmp_path):
+    docs_pdf, _ = corpus_small
+    sub = docs_pdf.iloc[:20]
+    df = documents_to_spark(spark, sub).withColumn(
+        "ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    in_dir = str(tmp_path / "dup")
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    df.coalesce(1).write.mode("append").parquet(in_dir)  # exact re-ingest
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>, ingest_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select content_hash from dedup_out").collect()
+    hashes = [r["content_hash"] for r in out]
+    assert len(hashes) == len(set(hashes))  # no duplicate content emitted
+    assert len(set(hashes)) == sub["spans"].astype(str).nunique()
