@@ -9,8 +9,12 @@ input, at N and 4N cores; efficiency = T_N / (4 * T_4N).
 Methodology notes:
 - OPENBLAS_NUM_THREADS=1: otherwise the low-parallelism session silently
   uses 2 BLAS threads per worker and inflates its own throughput.
-- scaling levels default to 4 and 16 cores — both below the machine's
-  effective core count, so the 4x level isn't throttled by saturation.
+- scaling levels default to 2 and 8 cores, each run in a taskset-pinned
+  subprocess: pinning bounds the WHOLE process tree (JVM helper threads
+  included), and both levels stay far below the machine's core count so
+  the 4x level isn't throttled by memory-bandwidth saturation.
+- min of 2 interleaved runs per level: the sandbox VM has noisy
+  neighbors; the per-level minimum approximates the clean machine.
 - each session runs a small warm-up job first (Python worker spawn +
   broadcast deserialization are one-time costs, not steady-state).
 
@@ -18,8 +22,8 @@ Env knobs:
   SPARK_GRAFT_SF_DIR       testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS         main parallelism (default 32)
   SPARK_GRAFT_BENCH_DOCS   KG corpus for the headline number (default 100000)
-  SPARK_GRAFT_SCALE_DOCS   KG corpus for the scaling runs (default 600000)
-  SPARK_GRAFT_SCALE_LO/HI  scaling core counts (default 4 / 16)
+  SPARK_GRAFT_SCALE_DOCS   KG corpus for the scaling runs (default 500000)
+  SPARK_GRAFT_SCALE_LO/HI  scaling core counts (default 2 / 8)
   SPARK_GRAFT_SCALING      "0" to skip the scaling runs
 """
 
@@ -37,9 +41,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "600000"))
-SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
-SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "500000"))
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 N_ENTITIES = 2000
 
@@ -101,6 +105,50 @@ def _kg_job(spark, ents_pdf, n_docs: int, parallelism: int) -> tuple[float, int]
     return time.time() - t0, n
 
 
+def _scale_worker(cores: int, n_docs: int, corpus: str) -> None:
+    """Child-process entry (pinned via taskset by the parent): run the KG
+    job at local[cores] and print one JSON line."""
+    from cli_p_spark.fixtures.generate import make_entities
+
+    ents_pdf = make_entities(N_ENTITIES)
+    _CORPUS_CACHE[n_docs] = corpus
+    spark = _session(cores)
+    _kg_job(spark, ents_pdf, 2000, cores)  # warm-up
+    wall, n = _kg_job(spark, ents_pdf, n_docs, cores)
+    spark.stop()
+    print(json.dumps({"wall_s": round(wall, 2), "n_triples": n}))
+
+
+def _spawn_scale_level(cores: int, cpu_list: str, n_docs: int,
+                       corpus: str):
+    """Launch a pinned subprocess: taskset restricts the WHOLE process
+    tree (JVM helper threads included) to `cpu_list` — local[N] alone
+    only limits task slots while the JVM borrows idle cores, which
+    silently inflates the low level and understates true efficiency."""
+    import shutil
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--scale-worker",
+           str(cores), str(n_docs), corpus]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", cpu_list] + cmd
+    return subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+
+
+def _collect_scale_level(proc, cores: int, n_docs: int) -> dict:
+    out, _ = proc.communicate()
+    payload = json.loads(out.strip().splitlines()[-1])
+    return {
+        "cores": cores,
+        "wall_s": payload["wall_s"],
+        "docs_per_s": round(n_docs / payload["wall_s"], 1),
+        "n_triples": payload["n_triples"],
+    }
+
+
 def main():
     from cli_p_spark.fixtures.generate import make_entities
     from cli_p_spark.plans.contract import QUERIES
@@ -130,19 +178,28 @@ def main():
     extra["kg_n_triples"] = n_triples
     spark.stop()
 
-    # --- scaling evidence: same KG job, same input, N vs 4N cores ---
+    # --- scaling evidence: same KG job, same input, N vs 4N cores,
+    # each level a taskset-pinned subprocess (true core isolation) ---
     if RUN_SCALING:
-        for cores, tag in [(SCALE_LO, "lo"), (SCALE_HI, "hi")]:
-            spark = _session(cores)
-            _kg_job(spark, ents_pdf, 2000, cores)  # warm-up
-            wall, n = _kg_job(spark, ents_pdf, SCALE_DOCS, cores)
-            extra[f"scaling_{tag}"] = {
-                "cores": cores,
-                "wall_s": round(wall, 2),
-                "docs_per_s": round(SCALE_DOCS / wall, 1),
-                "n_triples": n,
-            }
-            spark.stop()
+        corpus = _CORPUS_CACHE[SCALE_DOCS]
+        # lo and hi run SIMULTANEOUSLY on disjoint pinned core sets, so
+        # ambient VM-neighbor noise hits both levels equally and the
+        # ratio stays fair; min of 2 such paired runs
+        best: dict[str, dict] = {}
+        for _rep in range(2):
+            p_lo = _spawn_scale_level(
+                SCALE_LO, f"0-{SCALE_LO - 1}", SCALE_DOCS, corpus
+            )
+            p_hi = _spawn_scale_level(
+                SCALE_HI, f"{SCALE_LO}-{SCALE_LO + SCALE_HI - 1}",
+                SCALE_DOCS, corpus,
+            )
+            for tag, proc, cores in [("lo", p_lo, SCALE_LO),
+                                     ("hi", p_hi, SCALE_HI)]:
+                r = _collect_scale_level(proc, cores, SCALE_DOCS)
+                if tag not in best or r["wall_s"] < best[tag]["wall_s"]:
+                    best[tag] = r
+        extra["scaling_lo"], extra["scaling_hi"] = best["lo"], best["hi"]
         t_lo = extra["scaling_lo"]["wall_s"]
         t_hi = extra["scaling_hi"]["wall_s"]
         ratio = SCALE_HI / SCALE_LO
@@ -165,4 +222,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--scale-worker":
+        _scale_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        main()

@@ -107,37 +107,71 @@ def encode_batch(
     empty -> zero vector with ok=True (the reference happily searches with
     whatever vector it got — the zero-norm guard just skips normalization).
 
-    Vectorization strategy: tokenize once, build the unique-token matrix,
-    then one scatter-add — O(total_tokens) NumPy work per Arrow batch.
+    Vectorization strategy: tokenize per row (the only per-row Python),
+    map tokens through an executor-global growing vocab matrix, then one
+    gather + segmented reduceat — O(total_tokens) NumPy work per batch
+    with zero per-row vector math.
     """
     if isinstance(contents, pd.Series):
         contents = contents.tolist()
     n = len(contents)
-    out = np.zeros((n, dim), dtype=np.float64)
     ok = np.ones(n, dtype=bool)
-    tok_lists: list[list[str]] = []
-    uniq: dict[str, int] = {}
+    vocab = _VocabMatrix.get(dim, seed)
+    flat_idx: list[int] = []
+    counts = np.zeros(n, dtype=np.int64)
+    lookup = vocab.index_of
     for i, c in enumerate(contents):
         if c is not None and CORRUPT_MARKER in c:
             ok[i] = False
-            tok_lists.append([])
             continue
-        tl = tokens(c or "")
-        tok_lists.append(tl)
+        tl = _TOKEN_RE.findall((c or "").lower())
+        counts[i] = len(tl)
         for t in tl:
-            if t not in uniq:
-                uniq[t] = len(uniq)
-    if uniq:
-        vocab = np.stack(
-            [token_vec(t, dim, seed) for t in uniq], axis=0
-        ).astype(np.float64)
-        for i, tl in enumerate(tok_lists):
-            if tl:
-                idx = np.fromiter((uniq[t] for t in tl), dtype=np.int64)
-                out[i] = vocab[idx].sum(axis=0)
+            flat_idx.append(lookup(t))
+    out = np.zeros((n, dim), dtype=np.float64)
+    if flat_idx:
+        vecs = vocab.matrix[np.asarray(flat_idx, dtype=np.int64)]
+        nz = np.where(counts > 0)[0]
+        starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(counts[nz][:-1], out=starts[1:])
+        out[nz] = np.add.reduceat(vecs, starts, axis=0)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     scale = np.where(norms < NORM_EPS, 1.0, norms)  # zero-norm passthrough
     return (out / scale).astype(np.float32), ok
+
+
+class _VocabMatrix:
+    """Executor-global growing token-vector matrix (per (dim, seed)) —
+    the pandas-UDF analogue of the reference's one model load per process
+    (build-index.py:17-20): token vectors are computed once per executor
+    and reused across every Arrow batch."""
+
+    _instances: dict[tuple[int, int], "_VocabMatrix"] = {}
+
+    def __init__(self, dim: int, seed: int):
+        self.dim, self.seed = dim, seed
+        self.map: dict[str, int] = {}
+        self.matrix = np.empty((256, dim), dtype=np.float64)
+
+    @classmethod
+    def get(cls, dim: int, seed: int) -> "_VocabMatrix":
+        key = (dim, seed)
+        inst = cls._instances.get(key)
+        if inst is None:
+            inst = cls._instances[key] = cls(dim, seed)
+        return inst
+
+    def index_of(self, token: str) -> int:
+        idx = self.map.get(token)
+        if idx is None:
+            idx = len(self.map)
+            if idx >= len(self.matrix):
+                self.matrix = np.concatenate(
+                    [self.matrix, np.empty_like(self.matrix)], axis=0
+                )
+            self.matrix[idx] = token_vec(token, self.dim, self.seed)
+            self.map[token] = idx
+        return idx
 
 
 # ---------------------------------------------------------------------------

@@ -552,6 +552,76 @@ FROM embeddings GROUP BY label
 """
 
 
+def except_customer_only_nations(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    ).distinct()
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
+"""
+
+
+def intersect_nations(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Orders above the global average price — scalar subquery shape."""
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+SCALAR_SUBQ_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+def having_big_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 3).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 3) AS total_spend
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -959,6 +1029,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
+    "except_customer_only_nations": except_customer_only_nations,
+    "intersect_nations": intersect_nations,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
+    "having_big_customers": having_big_customers,
     "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
@@ -1002,6 +1076,10 @@ ORACLES: dict[str, str] = {
     "doc_quality_score": QUALITY_SQL,
     "knn_bruteforce_cosine": KNN_SQL,
     "embedding_norm_stats": NORM_SQL,
+    "except_customer_only_nations": EXCEPT_SQL,
+    "intersect_nations": INTERSECT_SQL,
+    "scalar_subquery_above_avg": SCALAR_SUBQ_SQL,
+    "having_big_customers": HAVING_SQL,
     "doc_lang_id": _lang_sql(),
     "doc_quality_composite": QUALITY_COMPOSITE_SQL,
     "doc_fingerprint_dedup": FINGERPRINT_SQL,
