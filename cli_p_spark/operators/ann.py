@@ -56,16 +56,20 @@ from .topk import topk_per_group
 
 def train_centroids(
     embeddings: np.ndarray, nlist: int = 100, iters: int = 15,
-    seed: int = SEED,
+    seed: int = SEED, max_train: int = 100_000,
 ) -> np.ndarray:
     """Spherical k-means (max-inner-product assignment, mean re-norm).
 
     Mirrors faiss IVF training (build-index.py:96) but deterministic:
-    seeded init, fixed iteration count.  Train on a sample when the index
-    is large — the reference itself trains on the first 20k chunk only.
+    seeded init, fixed iteration count.  Indexes larger than ``max_train``
+    train on a seeded sample — the reference's own train-once device
+    (build-index.py:94-97 trains on the first 20k chunk only); centroid
+    quality needs a sample, not the population.
     """
     X = np.asarray(embeddings, dtype=np.float64)
     rng = np.random.default_rng(seed)
+    if len(X) > max_train:
+        X = X[rng.choice(len(X), max_train, replace=False)]
     n = len(X)
     k = min(nlist, n)
     C = X[rng.choice(n, k, replace=False)].copy()

@@ -54,21 +54,18 @@ def _utcnow() -> datetime.datetime:
     return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
 
-def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        return None
-
-
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    return _read_or_none(spark, f"{out_dir}/lineage")
+    from .tables import TableStore
+
+    return TableStore(spark, out_dir).read("lineage")
 
 
 def _append_lineage(spark: SparkSession, out_dir: str, rows: list[tuple]):
-    spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(f"{out_dir}/lineage")
+    from .tables import TableStore
+
+    TableStore(spark, out_dir).append(
+        spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1), "lineage"
+    )
 
 
 def run_pipeline(
@@ -82,6 +79,7 @@ def run_pipeline(
     nlist: int = 100,
     nprobe: int = 32,
     fail_after_parts: int | None = None,
+    link_strategy: str = "broadcast",
 ) -> dict[str, str]:
     """Execute (or resume) the KG pipeline into ``out_dir``.
 
@@ -91,7 +89,14 @@ def run_pipeline(
     import numpy as np
 
     from ..fixtures.generate import entities_to_spark
-    from ..operators.ann import link_ann_join, train_centroids
+    from ..operators.ann import (
+        link_ann_join,
+        link_ivf_broadcast,
+        train_centroids,
+    )
+    from .tables import TableStore
+
+    store = TableStore(spark, out_dir)
 
     # ---- stage: embed (partition-granular, resumable) ----
     spans = explode_spans(documents).withColumn(
@@ -122,21 +127,20 @@ def run_pipeline(
         batch = spans.filter(F.col("part_id").isin(todo))
         encoded = encode_mentions(batch, cfg)
         ok, skips = split_skips(encoded)
-        ok.select(
-            "doc_id", "span_idx", "kind", "embedding", "part_id"
-        ).write.mode("append").partitionBy("part_id").parquet(
-            f"{out_dir}/mentions"
+        store.append(
+            ok.select("doc_id", "span_idx", "kind", "embedding", "part_id"),
+            "mentions", partition_by=("part_id",),
         )
         skips_with_part = skips.join(
             spans.select("doc_id", "span_idx", "part_id"),
             ["doc_id", "span_idx"],
         )
-        skips_with_part.write.mode("append").parquet(f"{out_dir}/skips")
+        store.append(skips_with_part, "skips")
         wall = time.time() - t0
         # per-partition metrics from the written data (exact counts)
         counts = {
             r["part_id"]: (r["n"],)
-            for r in spark.read.parquet(f"{out_dir}/mentions")
+            for r in store.read("mentions")
             .filter(F.col("part_id").isin(todo))
             .groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
         }
@@ -165,18 +169,28 @@ def run_pipeline(
 
     # ---- stage: link + triples (rebuilt from all mention partitions) ----
     t0 = time.time()
-    mentions = spark.read.parquet(f"{out_dir}/mentions").select(
+    mentions = store.read("mentions").select(
         "doc_id", "span_idx", "kind", "embedding"
     )
     emat = np.stack(entities_pdf["embedding"].to_numpy())
     centroids = train_centroids(emat, nlist=nlist, seed=cfg.seed)
-    entities = entities_to_spark(spark, entities_pdf)
-    links = link_ann_join(
-        mentions, entities, centroids, k=cfg.k, tau=cfg.tau, nprobe=nprobe
-    )
+    if link_strategy == "broadcast":
+        # entity index fits executors (the reference's own regime) -> the
+        # zero-shuffle GEMM search; 'join' = bucket equi-join for entity
+        # sides too big to broadcast (identical results, tested)
+        links = link_ivf_broadcast(
+            mentions, entities_pdf, centroids,
+            k=cfg.k, tau=cfg.tau, nprobe=nprobe,
+        )
+    else:
+        entities = entities_to_spark(spark, entities_pdf)
+        links = link_ann_join(
+            mentions, entities, centroids, k=cfg.k, tau=cfg.tau,
+            nprobe=nprobe,
+        )
     triples = triples_from_links(links)
-    triples.write.mode("overwrite").parquet(f"{out_dir}/triples")
-    n_triples = spark.read.parquet(f"{out_dir}/triples").count()
+    store.overwrite(triples, "triples")
+    n_triples = store.read("triples").count()
     _append_lineage(
         spark,
         out_dir,

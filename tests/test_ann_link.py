@@ -92,6 +92,31 @@ def test_fused_path_agrees_with_modular(spark, corpus_small):
     )
 
 
+def test_triples_identical_across_partitionings(spark, corpus_small):
+    """Partition-count independence: the link set must be bit-identical
+    whether the corpus is processed in 3 or 16 partitions (the property
+    that makes the two-cluster-size scaling run an apples-to-apples
+    comparison and resume cluster-size-agnostic)."""
+    import numpy as np
+
+    from cli_p_spark.fixtures.generate import documents_to_spark as to_spark
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.fused import fused_triples
+
+    docs_pdf, ents_pdf = corpus_small
+    docs = to_spark(spark, docs_pdf)
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100)
+    key = ["subj", "span_idx", "pred", "obj", "score"]
+    results = []
+    for parts in (3, 16):
+        t, _ = fused_triples(
+            docs, ents_pdf, centroids, PipelineConfig(embed_partitions=parts)
+        )
+        results.append(sorted(map(tuple, t.select(*key).collect())))
+    assert results[0] == results[1]
+
+
 def test_centroids_deterministic():
     from cli_p_spark.operators.ann import train_centroids
 
