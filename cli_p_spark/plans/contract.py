@@ -552,6 +552,26 @@ FROM embeddings GROUP BY label
 """
 
 
+def pivot_returnflag_by_status(spark, sf_dir):
+    """Pivot (groupBy().pivot()) — conditional-aggregation twin in SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 3))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS qty_f,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def except_customer_only_nations(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
@@ -1029,6 +1049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
+    "pivot_returnflag_by_status": pivot_returnflag_by_status,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -1076,6 +1097,7 @@ ORACLES: dict[str, str] = {
     "doc_quality_score": QUALITY_SQL,
     "knn_bruteforce_cosine": KNN_SQL,
     "embedding_norm_stats": NORM_SQL,
+    "pivot_returnflag_by_status": PIVOT_SQL,
     "except_customer_only_nations": EXCEPT_SQL,
     "intersect_nations": INTERSECT_SQL,
     "scalar_subquery_above_avg": SCALAR_SUBQ_SQL,

@@ -10,7 +10,10 @@ Package and launch:
         --entities  /data/entity_index_parquet \\
         --output    /data/kg_out \\
         --run-id    run_$(date +%s) \\
-        [--resume] [--nlist 100] [--nprobe 32] [--parts 256]
+        [--nlist 100] [--nprobe 32] [--parts 256]
+
+Resume after a kill: rerun with the same --output — completed embed
+partitions are detected via the lineage table and skipped.
 
 On a real cluster drop the --master default (local) and let
 spark-submit's --master/--deploy-mode take over; every shuffle/partition
