@@ -30,14 +30,12 @@ DEFAULT_K = 50
 # Canonicalization: mention-mention similarity cutoff for CC edges.
 TAU_CC = 0.90
 
-# LSH: random-hyperplane signatures.  n_bands x n_bits per band; a candidate
-# pair must collide in >=1 band.  Plays the role of the reference's IVF
-# nlist/nprobe recall knob (build-index.py:81, query-index.py:30,48-54).
-LSH_BANDS = 8
-LSH_BITS = 8
-# Multi-probe width: how many Hamming-1 bit flips to probe per band on the
-# query side (0 = exact-signature buckets only).  ~ reference nprobe.
-LSH_PROBES = 2
+# ANN recall knobs (operators/ann.py): IVF-style cells trained on the
+# index — the reference's nlist/nprobe (build-index.py:81,
+# query-index.py:30,48-54).  Banded-LSH knobs for near-dup live with
+# their operators (operators/dedup.py).
+NLIST = 100
+NPROBE = 32
 
 
 @dataclass(frozen=True)
@@ -47,8 +45,5 @@ class PipelineConfig:
     tau: float = TAU
     tau_cc: float = TAU_CC
     k: int = 1  # rank-1 linking for triples; DEFAULT_K for search API
-    lsh_bands: int = LSH_BANDS
-    lsh_bits: int = LSH_BITS
-    lsh_probes: int = LSH_PROBES
     # explicit repartition width before the embedding stage (north_rule)
     embed_partitions: int = 32

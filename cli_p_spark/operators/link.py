@@ -17,9 +17,10 @@ IVF build at build-index.py:80-107) with three Spark strategies:
    Catalyst-visible, used for oracle cross-checks; slower (per-pair row
    explosion) so not the default at scale.
 
-3. ``link_lsh`` (operators/lsh.py) — the big-index path: LSH-bucketed
-   equi-join, the analogue of IVF cell probing (nprobe<nlist), when the
-   entity side itself is too big to broadcast.
+3. ``link_ann_join`` / ``link_ivf_broadcast`` (operators/ann.py) — the
+   ANN paths: IVF-cell bucketing (the analogue of faiss nprobe<nlist),
+   as a bucket equi-join when the entity side is too big to broadcast,
+   or as a broadcast GEMM search when it fits (the reference's regime).
 
 Scores are computed in float64; ties broken by entity_id ascending —
 deterministic across partitionings (the reference inherits whatever order
