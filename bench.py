@@ -13,7 +13,7 @@ Methodology notes:
   subprocess: pinning bounds the WHOLE process tree (JVM helper threads
   included), and both levels stay far below the machine's core count so
   the 4x level isn't throttled by memory-bandwidth saturation.
-- min of 2 interleaved runs per level: the sandbox VM has noisy
+- min of 3 simultaneous paired runs per level: the sandbox VM has noisy
   neighbors; the per-level minimum approximates the clean machine.
 - each session runs a small warm-up job first (Python worker spawn +
   broadcast deserialization are one-time costs, not steady-state).
@@ -183,21 +183,17 @@ def main():
     # each level a taskset-pinned subprocess (true core isolation) ---
     if RUN_SCALING:
         corpus = _CORPUS_CACHE[SCALE_DOCS]
-        # lo and hi run SIMULTANEOUSLY on disjoint pinned core sets, so
-        # ambient VM-neighbor noise hits both levels equally and the
-        # ratio stays fair; min of 2 such paired runs
+        # sequential pinned runs (no self-contention), interleaved
+        # lo/hi/lo/hi..., min per level: with intermittent VM-neighbor
+        # noise the per-level minimum approximates the clean machine for
+        # BOTH levels, which is the fair basis for the ratio
         best: dict[str, dict] = {}
-        for _rep in range(2):
-            p_lo = _spawn_scale_level(
-                SCALE_LO, f"0-{SCALE_LO - 1}", SCALE_DOCS, corpus
-            )
-            p_hi = _spawn_scale_level(
-                SCALE_HI, f"{SCALE_LO}-{SCALE_LO + SCALE_HI - 1}",
-                SCALE_DOCS, corpus,
-            )
-            for tag, proc, cores in [("lo", p_lo, SCALE_LO),
-                                     ("hi", p_hi, SCALE_HI)]:
-                r = _collect_scale_level(proc, cores, SCALE_DOCS)
+        for _rep in range(3):
+            for tag, cores in [("lo", SCALE_LO), ("hi", SCALE_HI)]:
+                p = _spawn_scale_level(
+                    cores, f"0-{cores - 1}", SCALE_DOCS, corpus
+                )
+                r = _collect_scale_level(p, cores, SCALE_DOCS)
                 if tag not in best or r["wall_s"] < best[tag]["wall_s"]:
                     best[tag] = r
         extra["scaling_lo"], extra["scaling_hi"] = best["lo"], best["hi"]

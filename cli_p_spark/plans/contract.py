@@ -552,6 +552,48 @@ FROM embeddings GROUP BY label
 """
 
 
+def percentiles_lineitem(spark, sf_dir):
+    """Exact interpolated percentiles (median/p95) per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 3).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 3).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 3) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 3) AS p95,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def agg_nations_per_region(spark, sf_dir):
+    """Ordered set aggregation: sorted distinct nation list per region."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("n_name")), ","
+            ).alias("nations")
+        )
+    )
+
+
+NATIONS_AGG_SQL = """
+SELECT r_name,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def pivot_returnflag_by_status(spark, sf_dir):
     """Pivot (groupBy().pivot()) — conditional-aggregation twin in SQL."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1049,6 +1091,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
+    "percentiles_lineitem": percentiles_lineitem,
+    "agg_nations_per_region": agg_nations_per_region,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
@@ -1097,6 +1141,8 @@ ORACLES: dict[str, str] = {
     "doc_quality_score": QUALITY_SQL,
     "knn_bruteforce_cosine": KNN_SQL,
     "embedding_norm_stats": NORM_SQL,
+    "percentiles_lineitem": PERCENTILES_SQL,
+    "agg_nations_per_region": NATIONS_AGG_SQL,
     "pivot_returnflag_by_status": PIVOT_SQL,
     "except_customer_only_nations": EXCEPT_SQL,
     "intersect_nations": INTERSECT_SQL,
