@@ -275,6 +275,52 @@ class _IvfIndex:
         return sel, sc64
 
 
+def save_index(
+    spark, base_dir: str, entities_pdf: pd.DataFrame, centroids: np.ndarray
+) -> None:
+    """Persist the trained index as tables (the reference's
+    faiss.write_index, build-index.py:109): centroids + cell-assigned
+    entities, partitioned by cell for locality."""
+    from ..plans.tables import TableStore
+
+    store = TableStore(spark, base_dir)
+    cent_rows = [
+        (i, centroids[i].astype(float).tolist())
+        for i in range(len(centroids))
+    ]
+    store.overwrite(
+        spark.createDataFrame(cent_rows, "cell int, centroid array<double>"),
+        "centroids",
+    )
+    eids, emat = _entity_arrays(entities_pdf)
+    assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
+    ent_rows = [
+        (str(eids[i]), emat[i].astype(float).tolist(), int(assign[i]))
+        for i in range(len(eids))
+    ]
+    store.append(
+        spark.createDataFrame(
+            ent_rows, "entity_id string, embedding array<float>, cell int"
+        ),
+        "entity_index",
+        partition_by=("cell",),
+    )
+
+
+def load_index(spark, base_dir: str) -> tuple[pd.DataFrame, np.ndarray]:
+    """Reload (entities_pdf, centroids) (faiss.read_index,
+    query-index.py:29).  Order-insensitive: search sorts by entity_id."""
+    from ..plans.tables import TableStore
+
+    store = TableStore(spark, base_dir)
+    cents = store.read("centroids").toPandas().sort_values("cell")
+    centroids = np.stack(cents["centroid"].to_numpy()).astype(np.float64)
+    ents = store.read("entity_index").select(
+        "entity_id", "embedding"
+    ).toPandas()
+    return ents, centroids
+
+
 def build_ivf_broadcast_value(entities_pdf: pd.DataFrame,
                               centroids: np.ndarray):
     """The broadcast payload for _IvfIndex (shared by linking operators)."""

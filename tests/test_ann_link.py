@@ -117,6 +117,37 @@ def test_triples_identical_across_partitionings(spark, corpus_small):
     assert results[0] == results[1]
 
 
+def test_index_save_load_roundtrip(spark, corpus_small, tmp_path):
+    """write_index/read_index parity (build-index.py:109,
+    query-index.py:29): links from a reloaded index == links from the
+    in-memory index."""
+    import numpy as np
+
+    from cli_p_spark.fixtures.generate import documents_to_spark as to_spark
+    from cli_p_spark.operators.ann import (
+        load_index,
+        save_index,
+        train_centroids,
+    )
+    from cli_p_spark.operators.fused import fused_triples
+
+    docs_pdf, ents_pdf = corpus_small
+    docs = to_spark(spark, docs_pdf)
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100)
+    idx_dir = str(tmp_path / "index")
+    save_index(spark, idx_dir, ents_pdf, centroids)
+    ents2, centroids2 = load_index(spark, idx_dir)
+    assert np.allclose(centroids, centroids2)
+    cfg = PipelineConfig()
+    key = ["subj", "span_idx", "pred", "obj"]
+    a, _ = fused_triples(docs, ents_pdf, centroids, cfg)
+    b, _ = fused_triples(docs, ents2, centroids2, cfg)
+    assert sorted(map(tuple, a.select(*key).collect())) == sorted(
+        map(tuple, b.select(*key).collect())
+    )
+
+
 def test_centroids_deterministic():
     from cli_p_spark.operators.ann import train_centroids
 
