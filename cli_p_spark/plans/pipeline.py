@@ -171,41 +171,24 @@ def build_triples_ann(
 
 def mention_edges(
     mentions: DataFrame,
-    centroids,
-    tau_cc: float,
-    nprobe: int = 32,
-    k: int = 20,
+    cfg: PipelineConfig = PipelineConfig(),
 ) -> DataFrame:
-    """Mention-mention high-similarity pairs via the ANN self-join —
-    the reference's query-by-example ('i ID', query-index.py:86-99) run
-    for EVERY mention at once.  Returns (src, dst) with src < dst."""
-    from ..operators.ann import link_ann_join
+    """Mention-mention high-similarity pairs — the reference's
+    query-by-example ('i ID', query-index.py:86-99) run for EVERY mention
+    at once.  Returns (src, dst) with src < dst.
+
+    Candidate generation is banded sign-LSH (operators/lsh.py), not the
+    IVF search: all-pairs-above-tau over 10^12 mentions needs the
+    sub-quadratic candidate space LSH banding gives at high tau_cc; the
+    IVF probe structure only cuts the quadratic space by ~nlist/nprobe."""
+    from ..operators.lsh import hyperplane_lsh_pairs
 
     mid = F.concat_ws("#", "doc_id", "span_idx")
-    probe_side = mentions.select(
-        mid.alias("mention_id"), F.lit(0).alias("span_idx"), "embedding"
-    )
-    index_side = mentions.select(
-        mid.alias("entity_id"), "embedding"
-    )
-    pairs = link_ann_join(
-        probe_side,
-        index_side,
-        centroids,
-        k=k,
-        tau=tau_cc,
-        nprobe=nprobe,
-        mention_keys=("mention_id",),
-        carry_cols=(),
-    )
-    return (
-        pairs.filter(F.col("mention_id") != F.col("entity_id"))
-        .select(
-            F.least("mention_id", "entity_id").alias("src"),
-            F.greatest("mention_id", "entity_id").alias("dst"),
-        )
-        .distinct()
-    )
+    nodes = mentions.select(mid.alias("mention_id"), "embedding")
+    return hyperplane_lsh_pairs(
+        nodes, "embedding", "mention_id",
+        tau=cfg.tau_cc, dim=cfg.dim, seed=cfg.seed,
+    ).select("src", "dst")
 
 
 def build_kg(
@@ -243,10 +226,8 @@ def build_kg(
     )
     triples = triples_from_links(links)
 
-    # canonicalization: self-join edges -> CC -> canonical ids
-    # (mention-side centroids: train on a mention sample so probe cells
-    # reflect mention geometry, mirroring IVF training on stored vectors)
-    edges = mention_edges(mentions, centroids, cfg.tau_cc, nprobe=nprobe)
+    # canonicalization: LSH-banded near-dup edges -> CC -> canonical ids
+    edges = mention_edges(mentions, cfg)
     comps = connected_components(edges, salt_buckets=8)
     all_mentions = mentions.select(
         F.concat_ws("#", "doc_id", "span_idx").alias("node")
