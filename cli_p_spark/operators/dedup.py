@@ -305,6 +305,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_neardup_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    min_shared: int = 4,
+    w: int = 8,
+    k: int = 4,
+    seed: int = SEED,
+) -> DataFrame:
+    """Near-dup pairs via winnowing fingerprints (Schleimer et al.,
+    SIGMOD'03): docs sharing >= min_shared selected k-gram mins.  Same
+    inverted-index join shape as ngram_jaccard_pairs but over the
+    winnowed subset — candidate volume scales with fingerprint density
+    (~2/(w+1) of grams), not full gram sets."""
+    from ..functions.text import make_winnow_udf
+
+    winnow = make_winnow_udf(w=w, k=k, seed=seed)
+    fps = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(winnow(F.col(content_col))).alias("_fp"),
+    ).distinct()
+    a = fps.select(F.col("_id").alias("src"), "_fp")
+    b = fps.select(F.col("_id").alias("dst"), "_fp")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     embedding_col: str,
@@ -314,10 +346,43 @@ def embedding_neardup_pairs(
     nprobe: int = 32,
     k: int = 10,
     seed: int = SEED,
+    strategy: str = "ivf",
 ) -> DataFrame:
-    """Cosine near-duplicate pairs via the IVF self-join — identical
-    machinery to entity linking (operators/ann.py), tau near 1."""
+    """Cosine near-duplicate pairs.
+
+    strategy='ivf': broadcast IVF self-join (operators/ann.py) — right
+    when the whole vector set fits executors and tau is moderate.
+    strategy='lsh': banded sign-LSH (operators/lsh.py) — the
+    sub-quadratic path for tau near 1 at corpus scale.
+    """
     from .ann import link_ivf_broadcast, train_centroids
+
+    if strategy == "lsh":
+        from .lsh import hyperplane_lsh_pairs
+
+        dim = len(df.select(embedding_col).first()[0])
+        nodes = df.select(
+            F.col(id_col).cast("string").alias("_nid"),
+            F.col(embedding_col).alias("_emb"),
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("_emb", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double"),
+            )
+        )
+        unit = nodes.select(
+            "_nid",
+            F.transform(
+                "_emb",
+                lambda x: (x / F.when(nrm < 1e-9, F.lit(1.0)).otherwise(nrm))
+                .cast("float"),
+            ).alias("_emb"),
+        )
+        return hyperplane_lsh_pairs(
+            unit, "_emb", "_nid", tau=tau, dim=dim, seed=seed
+        )
 
     pdf = df.select(
         F.col(id_col).cast("string").alias("entity_id"),

@@ -1005,6 +1005,21 @@ def _kg_corpus(spark):
     return documents_to_spark(spark, docs_pdf), docs_pdf, ents_pdf
 
 
+def curate_training_corpus(spark, sf_dir):
+    """End-to-end curation over the driver documents table: quality floor
+    + exact dedup + MinHash near-dup dedup; returns per-stage survivor
+    counts (the data-loss audit).  UDF-hash based -> rows-only check;
+    gated by tests/test_curate.py vs exact Python oracles."""
+    from .curate import curate
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    _, counts = curate(d, min_quality=0.2, jaccard_threshold=0.5)
+    rows = [(k, v) for k, v in counts.items()]
+    return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
 def kg_triples_exact(spark, sf_dir):
     from .pipeline import build_triples_exact
 
@@ -1111,6 +1126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_ship_lag": range_join_ship_lag,
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
+    "curate_training_corpus": curate_training_corpus,
     "kg_triples_exact": kg_triples_exact,
     "kg_span_roundtrip": kg_span_roundtrip,
     "kg_skips_quarantine": kg_skips_quarantine,
