@@ -49,6 +49,7 @@ def hyperplane_lsh_pairs(
     bands: int = 16,
     seed: int = SEED,
     max_bucket: int = 2000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(src, dst, cosine) pairs with cosine >= tau, src < dst.
 
@@ -57,6 +58,11 @@ def hyperplane_lsh_pairs(
     exact dedup first (identical embeddings land in identical buckets in
     EVERY band, so a representative-per-exact-dup pre-pass is the scale
     hygiene anyway).
+
+    ``group_col``: restrict pairing to rows sharing this column (the
+    SCALE.md stage-3 sharding — e.g. canonicalize per linked entity
+    neighborhood at 10^12 mentions, where even sub-quadratic global
+    banding is infeasible).  The group simply joins the band key.
     """
     n_planes = bits_per_band * bands
     rng = np.random.default_rng(seed ^ 0x15A9)
@@ -74,20 +80,23 @@ def hyperplane_lsh_pairs(
 
     # banding over ids only — embeddings attach AFTER pair dedup, so the
     # candidate shuffle carries 2 ids instead of 2 vectors per row
+    gcols = [group_col] if group_col else []
     nodes = df.select(
-        F.col(id_col).alias("_id"), F.col(embedding_col).alias("_emb")
+        F.col(id_col).alias("_id"), F.col(embedding_col).alias("_emb"),
+        *gcols,
     )
     sig = nodes.withColumn("_keys", band_keys(F.col("_emb"))).select(
-        "_id", F.posexplode("_keys").alias("_band", "_key")
+        "_id", *gcols, F.posexplode("_keys").alias("_band", "_key")
     )
+    join_keys = gcols + ["_band", "_key"]
     sized = sig.withColumn(
-        "_bn", F.count(F.lit(1)).over(Window.partitionBy("_band", "_key"))
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy(*join_keys))
     ).filter(F.col("_bn") <= max_bucket)
 
-    a = sized.select(F.col("_id").alias("src"), "_band", "_key")
-    b = sized.select(F.col("_id").alias("dst"), "_band", "_key")
+    a = sized.select(F.col("_id").alias("src"), *join_keys)
+    b = sized.select(F.col("_id").alias("dst"), *join_keys)
     cand = (
-        a.join(b, ["_band", "_key"])
+        a.join(b, join_keys)
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])

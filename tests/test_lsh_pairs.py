@@ -46,6 +46,36 @@ def test_lsh_pairs_match_exact_oracle(spark):
         assert abs(v - oracle[k]) < 1e-6
 
 
+def test_lsh_grouped_restricts_pairs(spark):
+    """group_col shards pairing: cross-group near-dups are not paired
+    (the per-neighborhood canonicalization mode for 10^12 mentions)."""
+    rows = _mk_vectors(n_base=40)
+    grouped = [
+        (rid, emb, "g1" if i < 40 else "g2")
+        for i, (rid, emb) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        grouped, "id string, embedding array<float>, grp string"
+    )
+    global_pairs = {
+        (r["src"], r["dst"])
+        for r in hyperplane_lsh_pairs(
+            df, "embedding", "id", tau=0.9, dim=64
+        ).collect()
+    }
+    grouped_pairs = {
+        (r["src"], r["dst"])
+        for r in hyperplane_lsh_pairs(
+            df, "embedding", "id", tau=0.9, dim=64, group_col="grp"
+        ).collect()
+    }
+    grp = {rid: g for rid, _, g in grouped}
+    assert grouped_pairs == {
+        (a, b) for a, b in global_pairs if grp[a] == grp[b]
+    }
+    assert grouped_pairs  # some intra-group twins exist
+
+
 def test_lsh_exact_duplicates_always_found(spark):
     rng = np.random.default_rng(2)
     v = rng.standard_normal(64)
