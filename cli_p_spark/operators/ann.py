@@ -87,6 +87,30 @@ def train_centroids(
     return C
 
 
+def train_centroids_distributed(
+    entities: "DataFrame", nlist: int = 100, iters: int = 15,
+    seed: int = SEED, max_train: int = 100_000,
+    embedding_col: str = "embedding",
+) -> np.ndarray:
+    """Train centroids from an entity DataFrame WITHOUT collecting the
+    index to the driver: a seeded executor-side sample (at most
+    ~max_train rows) is all that crosses the wire — the 10^7-entity
+    driver-collect cliff from SCALE.md closed.  Deterministic for a fixed
+    input + seed (sample uses Spark's seeded Bernoulli sampler; k-means
+    itself is the seeded NumPy trainer)."""
+    from pyspark.sql import functions as F
+
+    n = entities.count()
+    frac = min(1.0, (max_train * 1.05) / max(n, 1))
+    sample = (
+        entities.select(embedding_col).sample(frac, seed=seed)
+        .limit(max_train).toPandas()
+    )
+    X = np.stack(sample[embedding_col].to_numpy())
+    return train_centroids(X, nlist=nlist, iters=iters, seed=seed,
+                           max_train=max_train)
+
+
 def _bc_centroids(spark, centroids: np.ndarray):
     return spark.sparkContext.broadcast(np.ascontiguousarray(centroids.T))
 
@@ -141,6 +165,7 @@ def link_ivf_broadcast(
     tau: float = 0.0,
     nprobe: int = 32,
     embedding_col: str = "embedding",
+    index_dtype: str = "f32",
 ) -> DataFrame:
     """IVF search against a broadcast bucketed index — the scale workhorse.
 
@@ -158,7 +183,7 @@ def link_ivf_broadcast(
     """
     spark = mentions.sparkSession
     bc = spark.sparkContext.broadcast(
-        build_ivf_broadcast_value(entities_pdf, centroids)
+        build_ivf_broadcast_value(entities_pdf, centroids, dtype=index_dtype)
     )
 
     keep_fields = [f for f in mentions.schema.fields if f.name != embedding_col]
@@ -322,13 +347,23 @@ def load_index(spark, base_dir: str) -> tuple[pd.DataFrame, np.ndarray]:
 
 
 def build_ivf_broadcast_value(entities_pdf: pd.DataFrame,
-                              centroids: np.ndarray):
-    """The broadcast payload for _IvfIndex (shared by linking operators)."""
+                              centroids: np.ndarray,
+                              dtype: str = "f32"):
+    """The broadcast payload for _IvfIndex (shared by linking operators).
+
+    dtype='f16' stores the entity matrix half-precision: halves the
+    broadcast's serialized/transfer size (the SCALE.md broadcast-budget
+    cliff; 10^7 x 512 drops 20 GB -> 10 GB on the wire).  Search casts
+    back to f32 once per executor for BLAS; candidate rescoring then sees
+    f16-rounded entity values, so scores shift by ~1e-3 relative — P/R
+    is unaffected (gated in tests), but exact score-parity tests use the
+    f32 default."""
     eids, emat = _entity_arrays(entities_pdf)
     assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
+    store = np.float16 if dtype == "f16" else np.float64
     return (
         eids,
-        np.ascontiguousarray(emat.T),
+        np.ascontiguousarray(emat.T.astype(store)),
         assign,
         np.ascontiguousarray(centroids.T),
     )

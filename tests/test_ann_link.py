@@ -117,6 +117,58 @@ def test_triples_identical_across_partitionings(spark, corpus_small):
     assert results[0] == results[1]
 
 
+def test_f16_index_holds_pr_gate(spark, corpus_small):
+    """Half-precision index storage (broadcast budget cliff): links keep
+    P/R >= 0.95 vs the oracle despite ~1e-3 score rounding."""
+    import numpy as np
+
+    from cli_p_spark.fixtures.generate import documents_to_spark as to_spark
+    from cli_p_spark.operators.ann import link_ivf_broadcast, train_centroids
+    from cli_p_spark.plans.pipeline import (
+        encode_mentions,
+        explode_spans,
+        split_skips,
+        triples_from_links,
+    )
+
+    docs_pdf, ents_pdf = corpus_small
+    cfg = PipelineConfig()
+    docs = to_spark(spark, docs_pdf)
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100)
+    ok, _ = split_skips(encode_mentions(explode_spans(docs), cfg))
+    mentions = ok.select("doc_id", "span_idx", "kind", "embedding")
+    links = link_ivf_broadcast(
+        mentions, ents_pdf, centroids, k=1, tau=cfg.tau, nprobe=32,
+        index_dtype="f16",
+    )
+    got = triples_from_links(links).toPandas()
+    golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=1)
+    p, r = precision_recall(got, golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_distributed_centroid_training(spark, corpus_small):
+    """Sample-based executor-side training (no full index collect)
+    produces centroids good enough to hold the P/R gate."""
+    from cli_p_spark.fixtures.generate import (
+        documents_to_spark as to_spark,
+        entities_to_spark,
+    )
+    from cli_p_spark.operators.ann import train_centroids_distributed
+    from cli_p_spark.operators.fused import fused_triples
+
+    docs_pdf, ents_pdf = corpus_small
+    cfg = PipelineConfig()
+    docs = to_spark(spark, docs_pdf)
+    entities_df = entities_to_spark(spark, ents_pdf)
+    centroids = train_centroids_distributed(entities_df, nlist=100)
+    triples, _ = fused_triples(docs, ents_pdf, centroids, cfg, nprobe=32)
+    golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
+    p, r = precision_recall(triples.toPandas(), golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
 def test_index_save_load_roundtrip(spark, corpus_small, tmp_path):
     """write_index/read_index parity (build-index.py:109,
     query-index.py:29): links from a reloaded index == links from the
