@@ -552,6 +552,63 @@ FROM embeddings GROUP BY label
 """
 
 
+def left_outer_nation_customers(spark, sf_dir):
+    """LEFT OUTER join with null-side aggregation (nations with zero
+    customers keep a row; COALESCE folds the null side)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("c_acctbal").alias("_bal"),
+    )
+    return (
+        n.join(per_nation, F.col("n_nationkey") == F.col("c_nationkey"),
+               "left_outer")
+        .select(
+            "n_name",
+            F.coalesce("_n", F.lit(0)).alias("n_customers"),
+            F.round(F.coalesce("_bal", F.lit(0.0)), 3).alias("sum_acctbal"),
+        )
+    )
+
+
+LEFT_OUTER_SQL = """
+SELECT n_name,
+       COALESCE(cnt, 0) AS n_customers,
+       ROUND(COALESCE(bal, 0.0), 3) AS sum_acctbal
+FROM nation LEFT OUTER JOIN (
+  SELECT c_nationkey, COUNT(*) AS cnt, SUM(c_acctbal) AS bal
+  FROM customer GROUP BY c_nationkey) c
+ON n_nationkey = c_nationkey
+"""
+
+
+def window_running_total(spark, sf_dir):
+    """Explicit frame spec: running total per customer over order id
+    (ROWS UNBOUNDED PRECEDING .. CURRENT ROW on a unique ordering)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 3).alias("running_total"),
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
+       AS running_total
+FROM orders
+"""
+
+
 def percentiles_lineitem(spark, sf_dir):
     """Exact interpolated percentiles (median/p95) per return flag."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1106,6 +1163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
+    "left_outer_nation_customers": left_outer_nation_customers,
+    "window_running_total": window_running_total,
     "percentiles_lineitem": percentiles_lineitem,
     "agg_nations_per_region": agg_nations_per_region,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
@@ -1157,6 +1216,8 @@ ORACLES: dict[str, str] = {
     "doc_quality_score": QUALITY_SQL,
     "knn_bruteforce_cosine": KNN_SQL,
     "embedding_norm_stats": NORM_SQL,
+    "left_outer_nation_customers": LEFT_OUTER_SQL,
+    "window_running_total": RUNNING_TOTAL_SQL,
     "percentiles_lineitem": PERCENTILES_SQL,
     "agg_nations_per_region": NATIONS_AGG_SQL,
     "pivot_returnflag_by_status": PIVOT_SQL,
