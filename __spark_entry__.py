@@ -8,7 +8,43 @@ oracle_sql()   -> DuckDB twins; kg_* entries are UDF-based (rows-only check),
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the cli_p_spark package lives next to this file; make that work even
+# when this module is imported by absolute path from another cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+_PKG_ZIP: str | None = None
+
+
+def _ensure_workers(spark: "SparkSession") -> None:
+    """Executor processes unpickle UDF closures that import cli_p_spark;
+    if the driver session wasn't launched from this directory the workers
+    can't resolve the package.  Ship it via addPyFile (idempotent)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        import tempfile
+        import zipfile
+
+        zp = os.path.join(
+            tempfile.mkdtemp(prefix="cli_p_spark_pkg_"), "cli_p_spark.zip"
+        )
+        root = os.path.join(_HERE, "cli_p_spark")
+        with zipfile.ZipFile(zp, "w") as z:
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, _HERE))
+        _PKG_ZIP = zp
+    try:
+        spark.sparkContext.addPyFile(_PKG_ZIP)
+    except Exception:
+        pass  # already added on this context
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from cli_p_spark.fixtures.generate import make_entities
     from cli_p_spark.plans.pipeline import build_triples_exact
 
+    _ensure_workers(spark)
     flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     docs = flat.select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -48,7 +85,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cli_p_spark.plans.contract import QUERIES
 
-    return dict(QUERIES)
+    def wrap(fn):
+        def inner(spark, sf_dir):
+            _ensure_workers(spark)
+            return fn(spark, sf_dir)
+
+        inner.__name__ = fn.__name__
+        inner.__doc__ = fn.__doc__
+        return inner
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
