@@ -32,6 +32,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Money/quantity columns in the driver tables are exact 2-decimal values
+# stored as doubles.  Summing them as doubles puts ROUND(sum, 3) on a
+# last-ulp boundary whenever Spark's and DuckDB's partial-agg orders
+# differ (the round-1 q3 hash miss).  Computing in decimal(18,2) is
+# lossless for 2-dp data and makes the sum EXACT on both engines; the
+# final cast back to double keeps the contract schema.
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+# (1 - l_discount) as an exact decimal: 1.00 - d, scale 2
+_ONE = F.lit(1).cast("decimal(3,2)")
+
+
+def _dsql(c: str) -> str:
+    return f"CAST({c} AS DECIMAL(18,2))"
+
+
 # ---------------------------------------------------------------------------
 # aggregation / scan / filter
 # ---------------------------------------------------------------------------
@@ -45,11 +63,14 @@ def q1_pricing_summary(spark, sf_dir):
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(F.sum(_dec("l_quantity")), 3).cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 3).cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
-            ).alias("sum_disc_price"),
+                F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))),
+                3,
+            ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -59,9 +80,14 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 3) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 3) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 3) AS DOUBLE)
+         AS sum_disc_price,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_discount), 4) AS avg_disc,
        COUNT(*) AS count_order
@@ -104,8 +130,9 @@ def q3_top_unshipped_revenue(spark, sf_dir):
         .groupBy("o_orderkey")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
-            ).alias("revenue")
+                F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))),
+                3,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
@@ -114,7 +141,10 @@ def q3_top_unshipped_revenue(spark, sf_dir):
 
 Q3_SQL = """
 SELECT o_orderkey,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 3) AS DOUBLE)
+         AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -138,13 +168,16 @@ def join_broadcast_dims(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 3).alias("sum_acctbal"),
+            F.round(F.sum(_dec("s_acctbal")), 3).cast("double")
+            .alias("sum_acctbal"),
         )
     )
 
 
 JOIN_DIMS_SQL = """
-SELECT r_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 3) AS sum_acctbal
+SELECT r_name, COUNT(*) AS n_suppliers,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS sum_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -199,15 +232,19 @@ def q5_region_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
-            ).alias("revenue")
+                F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))),
+                3,
+            ).cast("double").alias("revenue")
         )
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 3) AS DOUBLE)
+         AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON o_orderkey = l_orderkey
               JOIN supplier ON l_suppkey = s_suppkey
@@ -337,13 +374,16 @@ def date_funcs_orders_monthly(spark, sf_dir):
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 3).alias("sum_price"),
+        F.round(F.sum(_dec("o_totalprice")), 3).cast("double")
+        .alias("sum_price"),
     )
 
 
 DATE_SQL = """
 SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 3) AS sum_price
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS sum_price
 FROM orders GROUP BY 1, 2
 """
 
@@ -354,9 +394,10 @@ def case_when_conditional_agg(spark, sf_dir):
         F.round(
             F.sum(
                 F.when(F.col("l_returnflag") == "R",
-                       F.col("l_extendedprice")).otherwise(F.lit(0.0))
+                       _dec("l_extendedprice"))
+                .otherwise(F.lit(0).cast("decimal(18,2)"))
             ), 3,
-        ).alias("returned_value"),
+        ).cast("double").alias("returned_value"),
         F.round(
             F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_quantity"))), 4
         ).alias("avg_qty_high_disc"),
@@ -365,7 +406,9 @@ def case_when_conditional_agg(spark, sf_dir):
 
 CASE_SQL = """
 SELECT l_linestatus,
-       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 3)
+       CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END), 3) AS DOUBLE)
          AS returned_value,
        ROUND(AVG(CASE WHEN l_discount > 0.05 THEN l_quantity END), 4)
          AS avg_qty_high_disc
@@ -559,7 +602,7 @@ def left_outer_nation_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     per_nation = c.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("c_acctbal").alias("_bal"),
+        F.sum(_dec("c_acctbal")).alias("_bal"),
     )
     return (
         n.join(per_nation, F.col("n_nationkey") == F.col("c_nationkey"),
@@ -567,7 +610,9 @@ def left_outer_nation_customers(spark, sf_dir):
         .select(
             "n_name",
             F.coalesce("_n", F.lit(0)).alias("n_customers"),
-            F.round(F.coalesce("_bal", F.lit(0.0)), 3).alias("sum_acctbal"),
+            F.round(
+                F.coalesce("_bal", F.lit(0).cast("decimal(18,2)")), 3
+            ).cast("double").alias("sum_acctbal"),
         )
     )
 
@@ -575,9 +620,11 @@ def left_outer_nation_customers(spark, sf_dir):
 LEFT_OUTER_SQL = """
 SELECT n_name,
        COALESCE(cnt, 0) AS n_customers,
-       ROUND(COALESCE(bal, 0.0), 3) AS sum_acctbal
+       CAST(ROUND(COALESCE(bal, CAST(0 AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS sum_acctbal
 FROM nation LEFT OUTER JOIN (
-  SELECT c_nationkey, COUNT(*) AS cnt, SUM(c_acctbal) AS bal
+  SELECT c_nationkey, COUNT(*) AS cnt,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
   FROM customer GROUP BY c_nationkey) c
 ON n_nationkey = c_nationkey
 """
@@ -595,15 +642,16 @@ def window_running_total(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 3).alias("running_total"),
+        F.round(F.sum(_dec("o_totalprice")).over(w), 3).cast("double")
+        .alias("running_total"),
     )
 
 
 RUNNING_TOTAL_SQL = """
 SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3) AS DOUBLE)
        AS running_total
 FROM orders
 """
@@ -657,7 +705,7 @@ def pivot_returnflag_by_status(spark, sf_dir):
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 3))
+        .agg(F.round(F.sum(_dec("l_quantity")), 3).cast("double"))
         .withColumnRenamed("F", "qty_f")
         .withColumnRenamed("O", "qty_o")
     )
@@ -665,8 +713,12 @@ def pivot_returnflag_by_status(spark, sf_dir):
 
 PIVOT_SQL = """
 SELECT l_returnflag,
-       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 3) AS qty_f,
-       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 3) AS qty_o
+       CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                      THEN CAST(l_quantity AS DECIMAL(18,2)) END), 3)
+            AS DOUBLE) AS qty_f,
+       CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                      THEN CAST(l_quantity AS DECIMAL(18,2)) END), 3)
+            AS DOUBLE) AS qty_o
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -728,7 +780,8 @@ def having_big_customers(spark, sf_dir):
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 3).alias("total_spend"),
+            F.round(F.sum(_dec("o_totalprice")), 3).cast("double")
+            .alias("total_spend"),
         )
         .filter(F.col("n_orders") >= 8)
     )
@@ -736,7 +789,8 @@ def having_big_customers(spark, sf_dir):
 
 HAVING_SQL = """
 SELECT o_custkey, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 3) AS total_spend
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS total_spend
 FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
 """
 
@@ -986,13 +1040,15 @@ def cube_orders_status_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 3).alias("sum_price"),
+        F.round(F.sum(_dec("o_totalprice")), 3).cast("double")
+        .alias("sum_price"),
     )
 
 
 CUBE_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 3) AS sum_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -1009,7 +1065,8 @@ def range_join_ship_lag(spark, sf_dir):
     lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     return j.groupBy(F.floor(lag_days / 7).alias("lag_week")).agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 3).alias("sum_price"),
+        F.round(F.sum(_dec("l_extendedprice")), 3).cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -1017,7 +1074,8 @@ RANGE_JOIN_SQL = """
 SELECT CAST(FLOOR(date_diff('day', o_orderdate, l_shipdate) / 7) AS BIGINT)
          AS lag_week,
        COUNT(*) AS n_items,
-       ROUND(SUM(l_extendedprice), 3) AS sum_price
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 3) AS DOUBLE)
+         AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= o_orderdate
   AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
