@@ -212,27 +212,48 @@ def link_ivf_broadcast(
 class _IvfIndex:
     """Executor-side IVF search state (from one broadcast tuple).
 
-    search(): sgemm preselect (f32, ~6x dgemm) of k+3 candidates under the
-    IVF probe mask, then f64 rescore of just those candidates — exact,
-    partition-independent ranking (the margin absorbs f32 rounding)."""
+    Storage is CELL-GROUPED (CSR layout: ``gmat`` rows sorted by IVF cell,
+    ``cell_ptr`` offsets) — the same cell-contiguous layout faiss
+    IndexIVFFlat keeps its inverted lists in (build-index.py:80-81).
+
+    search(): when nprobe < nlist, ONE sgemm per probed cell against that
+    cell's slice only, merged into a per-row running top-kc — peak
+    intermediate is [block, max_cell + kc], NOT [block, E]; nprobe
+    actually prunes compute (the reference's knob, query-index.py:30).
+    When nprobe >= nlist (exhaustive) a single dense sgemm is cheaper and
+    bit-equivalent.  Either way the kc = k+MARGIN f32 preselect candidates
+    are rescored in f64 for an exact, partition-independent final ranking
+    (the margin absorbs f32 rounding; entity embeddings are float32 so the
+    upcast rescore is exact)."""
 
     MARGIN = 3
 
-    def __init__(self, eids, ematT, assign, CT):
+    # rows per kernel block: bounds every intermediate at
+    # [BLOCK, max_cell + kc] regardless of Arrow batch size
+    BLOCK = 1024
+
+    def __init__(self, eids, gmat, perm, inv_perm, cell_ptr, CT):
         self.eids = eids
-        self.ematT = ematT
-        self.assign = assign
-        self.CT = CT
-        self.ematT32 = ematT.astype(np.float32)
-        self.CT32 = CT.astype(np.float32)
+        self.gmat32 = gmat.astype(np.float32, copy=False)
+        self.perm = perm          # grouped position -> original entity idx
+        self.inv_perm = inv_perm  # original entity idx -> grouped position
+        self.cell_ptr = cell_ptr  # [nlist+1] offsets into gmat
+        self.CT = CT              # [dim, nlist] float64
+        self.stats = {"max_gemm_cols": 0}
+
+    _cached: "_IvfIndex | None" = None
 
     @classmethod
     def from_broadcast(cls, value):
-        return cls(*value)
-
-    # rows per kernel block: keeps the [block, E] f32 intermediates inside
-    # cache instead of streaming 80MB matrices through RAM per Arrow batch
-    BLOCK = 1024
+        """Broadcast values are deserialized once per executor process and
+        memoized by Spark; cache the wrapper too so a possible f16->f32
+        upcast happens once per process, not once per task."""
+        inst = cls._cached
+        if inst is None or inst._payload is not value:
+            inst = cls(*value)
+            inst._payload = value
+            cls._cached = inst
+        return inst
 
     def search(self, Q: np.ndarray, k: int, nprobe: int):
         if len(Q) <= self.BLOCK:
@@ -246,57 +267,74 @@ class _IvfIndex:
             np.concatenate([s for _, s in outs], axis=0),
         )
 
+    def _track(self, cols: int) -> None:
+        if cols > self.stats["max_gemm_cols"]:
+            self.stats["max_gemm_cols"] = cols
+
     def _search_block(self, Q: np.ndarray, k: int, nprobe: int):
-        """Optimistic selection: take the top-kc entities UNMASKED via
-        cheap argmax sweeps (SIMD max-scan beats introselect ~4x and needs
-        no [n, E] probe-mask gather), then verify each candidate's cell
-        against the row's probed cells — only kc lookups per row.  A row
-        falls back to the exact masked scan only when fewer than k of its
-        unmasked top-kc live in probed cells (rare: the near-top entities
-        are exactly the ones whose cells get probed).  Result is
-        bit-identical to the full masked scan: any allowed entity outside
-        the unmasked top-kc scores below every allowed entity inside it."""
         n = len(Q)
-        E = self.ematT32.shape[1]
+        E = self.gmat32.shape[0]
+        if n == 0 or E == 0:
+            return (
+                np.zeros((n, 0), dtype=np.int64),
+                np.zeros((n, 0), dtype=np.float64),
+            )
         n_cells = self.CT.shape[1]
         pp = min(nprobe, n_cells)
-        Q32 = Q.astype(np.float32, copy=False)
-        scores32 = Q32 @ self.ematT32  # [n, E]
         kc = min(k + self.MARGIN, E)
-        rowr = np.arange(n)
+        Q64 = Q.astype(np.float64, copy=False)
+        Q32 = Q.astype(np.float32, copy=False)
 
-        # multi-argmax selection, ordered by (-score, entity index)
-        S = scores32.copy()
-        sel = np.empty((n, kc), dtype=np.int64)
-        for c in range(kc):
-            am = np.argmax(S, axis=1)
-            sel[:, c] = am
-            S[rowr, am] = -np.inf
-        del S
-
-        if pp < n_cells:
-            cs = Q32 @ self.CT32  # [n, nlist]
-            kth = -np.partition(-cs, pp - 1, axis=1)[:, pp - 1]
-            ok = cs[rowr[:, None], self.assign[sel]] >= kth[:, None]
-            need_fallback = ok.sum(axis=1) < min(k, kc)
-            sel_sc = scores32[rowr[:, None], sel]
-            sel_sc[~ok] = -np.inf
-            if need_fallback.any():
-                fb = np.where(need_fallback)[0]
-                fsc = scores32[fb]
-                fallowed = cs[fb][:, self.assign] >= kth[fb, None]
-                fsc = np.where(fallowed, fsc, -np.inf)
-                fcand = np.argpartition(-fsc, kc - 1, axis=1)[:, :kc] \
-                    if kc < E else np.tile(np.arange(E), (len(fb), 1))
-                sel[fb] = fcand
-                sel_sc[fb] = fsc[np.arange(len(fb))[:, None], fcand]
+        if pp >= n_cells:
+            # exhaustive probing: a single dense sgemm beats nlist slice
+            # GEMMs and is result-identical (no cell is excluded)
+            scores32 = Q32 @ self.gmat32.T  # [n, E] (grouped order)
+            self._track(E)
+            if kc < E:
+                part = np.argpartition(-scores32, kc - 1, axis=1)[:, :kc]
+            else:
+                part = np.tile(np.arange(E), (n, 1))
+            sel = self.perm[part]
+            best_sc = np.take_along_axis(scores32, part, axis=1)
         else:
-            sel_sc = scores32[rowr[:, None], sel]
+            # cell-pruned search: rows grouped by probed cell, one GEMM
+            # per (cell x probing rows), running top-kc merge under the
+            # total order (-f32 score, entity idx asc)
+            cs = Q64 @ self.CT  # [n, nlist] f64 — bitwise == add_probes
+            probe = np.argpartition(-cs, pp - 1, axis=1)[:, :pp]
+            flat_rows = np.repeat(np.arange(n), pp)
+            flat_cells = probe.ravel()
+            order = np.argsort(flat_cells, kind="stable")
+            fr = flat_rows[order]
+            fc = flat_cells[order]
+            cells, starts = np.unique(fc, return_index=True)
+            bounds = np.append(starts, len(fc))
+            best_sc = np.full((n, kc), -np.inf, dtype=np.float32)
+            sel = np.zeros((n, kc), dtype=np.int64)
+            ptr = self.cell_ptr
+            for ci, c in enumerate(cells):
+                s, e = int(ptr[c]), int(ptr[c + 1])
+                m = e - s
+                if m == 0:
+                    continue
+                rows = fr[bounds[ci]:bounds[ci + 1]]
+                S = Q32[rows] @ self.gmat32[s:e].T  # [r, cell_size]
+                self._track(kc + m)
+                cat_sc = np.concatenate([best_sc[rows], S], axis=1)
+                cat_ix = np.concatenate(
+                    [sel[rows],
+                     np.broadcast_to(self.perm[s:e], (len(rows), m))],
+                    axis=1,
+                )
+                keep = np.lexsort((cat_ix, -cat_sc), axis=1)[:, :kc]
+                best_sc[rows] = np.take_along_axis(cat_sc, keep, axis=1)
+                sel[rows] = np.take_along_axis(cat_ix, keep, axis=1)
 
-        # f64 rescore of the candidate set only (exact ranking)
-        Ecand = self.ematT.T[sel]  # [n, kc, dim]
-        sc64 = np.einsum("nd,ncd->nc", Q.astype(np.float64), Ecand)
-        sc64[~np.isfinite(sel_sc)] = -np.inf
+        # f64 rescore of the candidate set only (exact ranking; entity
+        # vectors are float32, so the upcast loses nothing)
+        Ecand = self.gmat32[self.inv_perm[sel]].astype(np.float64)
+        sc64 = np.einsum("nd,ncd->nc", Q64, Ecand)
+        sc64[~np.isfinite(best_sc)] = -np.inf
         return sel, sc64
 
 
@@ -349,22 +387,32 @@ def load_index(spark, base_dir: str) -> tuple[pd.DataFrame, np.ndarray]:
 def build_ivf_broadcast_value(entities_pdf: pd.DataFrame,
                               centroids: np.ndarray,
                               dtype: str = "f32"):
-    """The broadcast payload for _IvfIndex (shared by linking operators).
+    """The broadcast payload for _IvfIndex (shared by linking operators):
+    cell-grouped CSR entity matrix + permutations + cell offsets.
 
-    dtype='f16' stores the entity matrix half-precision: halves the
-    broadcast's serialized/transfer size (the SCALE.md broadcast-budget
-    cliff; 10^7 x 512 drops 20 GB -> 10 GB on the wire).  Search casts
-    back to f32 once per executor for BLAS; candidate rescoring then sees
-    f16-rounded entity values, so scores shift by ~1e-3 relative — P/R
-    is unaffected (gated in tests), but exact score-parity tests use the
-    f32 default."""
+    dtype='f32' (default) stores the entity matrix single-precision —
+    lossless for array<float> embeddings (everything this engine encodes
+    or reads from parquet) and HALF the round-1 f64 wire size (10^7 x 512
+    = 20 GB f64 -> 10 GB).  dtype='f16' halves it again for the
+    broadcast-budget cliff; search upcasts once per executor, candidate
+    rescoring then sees f16-rounded entity values (~1e-3 relative score
+    shift; P/R gated in tests — exact score-parity paths use f32)."""
     eids, emat = _entity_arrays(entities_pdf)
+    n_cells = len(centroids)
     assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
-    store = np.float16 if dtype == "f16" else np.float64
+    perm = np.argsort(assign, kind="stable").astype(np.int64)
+    inv_perm = np.argsort(perm).astype(np.int64)
+    counts = np.bincount(assign, minlength=n_cells)
+    cell_ptr = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(counts, out=cell_ptr[1:])
+    store = np.float16 if dtype == "f16" else np.float32
+    gmat = np.ascontiguousarray(emat[perm].astype(store))
     return (
         eids,
-        np.ascontiguousarray(emat.T.astype(store)),
-        assign,
+        gmat,
+        perm,
+        inv_perm,
+        cell_ptr,
         np.ascontiguousarray(centroids.T),
     )
 

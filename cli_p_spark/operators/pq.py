@@ -2,18 +2,32 @@
 to broadcast even in f16.
 
 PQ (Jégou et al., TPAMI'11 — the same family faiss couples with IVF in
-IndexIVFPQ) compresses each d-dim vector into M uint8 codes: split the
-dimension into M subspaces, k-means 256 centroids per subspace, store the
-per-subspace code.  At 512-d with M=32 the index shrinks 64x
+IndexIVFPQ, the structure the reference's index family points at,
+build-index.py:80-81) compresses each d-dim vector into M uint8 codes:
+split the dimension into M subspaces, k-means 256 centroids per subspace,
+store the per-subspace code.  At 512-d with M=32 the index shrinks 64x
 (10^7 x 512 x 4B = 20 GB -> 320 MB of codes + 1 MB of codebooks), which
 broadcasts comfortably.
 
 Search is asymmetric distance: a query builds an [M, 256] lookup table of
 subspace dot products, and a candidate's approximate score is the sum of
-M table lookups — no FLOPs against the index matrix at all.  The top-kc
-preselected candidates are then rescored EXACTLY against the full-precision
-entity table via an equi-join (the vectors never need to be broadcast),
-so final ranking quality is bounded by preselect recall, not PQ error.
+M table lookups.  Two scan strategies, both bounded-memory:
+
+- flat (``centroids=None``): E-blocked LUT accumulation with a running
+  per-query top-kc — peak intermediate [n_q, block], never [n_q, E]
+  (the round-1 dense-scores cliff: 80 GB per batch at E=10^7).
+- IVF-PQ (``centroids`` given): codes stored cell-grouped (CSR, like
+  faiss IndexIVFPQ's inverted lists); queries probe nprobe cells and
+  only those cells' codes are gathered — nprobe prunes compute.  We PQ
+  the raw vectors, not faiss's residual-to-centroid refinement: the
+  exact full-precision rescore downstream makes preselect recall the
+  only quality knob, and the P/R gate in tests/test_pq.py holds without
+  residual coding.
+
+The top-kc preselected candidates are then rescored EXACTLY against the
+full-precision entity table via an equi-join (the vectors never need to
+be broadcast), so final ranking quality is bounded by preselect recall,
+not PQ error.
 
 Plan shape:
 
@@ -37,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import NORM_EPS, SEED
+from ..config import SEED
 from .link import _entity_arrays, cosine_expr
 from .topk import topk_per_group
 
@@ -61,9 +75,13 @@ def train_pq(
     for m in range(m_subspaces):
         S = X[:, m * dsub:(m + 1) * dsub]
         C = S[rng.choice(n, k, replace=False)].copy()
+        sq_s = (S * S).sum(axis=1)
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-            a = np.argmin(d2, axis=1)
+            # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin via GEMM
+            a = np.argmin(
+                sq_s[:, None] - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None],
+                axis=1,
+            )
             for j in range(k):
                 members = S[a == j]
                 if len(members):
@@ -74,34 +92,165 @@ def train_pq(
     return books
 
 
-def pq_encode(X: np.ndarray, books: np.ndarray) -> np.ndarray:
-    """codes [n, M] uint8: nearest subspace centroid per block."""
+def pq_encode(X: np.ndarray, books: np.ndarray,
+              block: int = 65_536) -> np.ndarray:
+    """codes [n, M] uint8: nearest subspace centroid per block.
+    Row-blocked GEMM distances — O(block x n_codes) peak, any n."""
     X = np.asarray(X, dtype=np.float64)
     M, n_codes, dsub = books.shape
     out = np.empty((len(X), M), dtype=np.uint8)
-    for m in range(M):
-        S = X[:, m * dsub:(m + 1) * dsub]
-        d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(-1)
-        out[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    sq_c = (books * books).sum(axis=2)  # [M, n_codes]
+    for b0 in range(0, len(X), block):
+        Xb = X[b0:b0 + block]
+        for m in range(M):
+            S = Xb[:, m * dsub:(m + 1) * dsub]
+            d2 = -2.0 * (S @ books[m].T) + sq_c[m][None]
+            out[b0:b0 + block, m] = np.argmin(d2, axis=1).astype(np.uint8)
     return out
 
 
-def pq_scores(Q: np.ndarray, books: np.ndarray, codes: np.ndarray
-              ) -> np.ndarray:
-    """Approximate inner products [n_q, E] via LUT gathers (asymmetric
-    distance computation)."""
+def _query_luts(Q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """LUT[q, m, c] = <Q_sub, book_c> — f32, [n_q, M, n_codes]."""
     M, n_codes, dsub = books.shape
     nq = len(Q)
-    # LUT[q, m, c] = <Q_sub, book_c>
-    lut = np.einsum(
-        "qmd,mcd->qmc",
-        Q.reshape(nq, M, dsub),
+    return np.einsum(
+        "qmd,mcd->qmc", Q.reshape(nq, M, dsub), books
+    ).astype(np.float32)
+
+
+def _lut_scores(lut: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """Approximate scores [n_q, len(codes)] for one code slice."""
+    S = lut[:, 0, codes[:, 0]]
+    for m in range(1, codes.shape[1]):
+        S = S + lut[:, m, codes[:, m]]
+    return S
+
+
+def _merge_topk(best_sc, best_ix, S, idx, kc):
+    """Running top-kc merge under (-score, index asc) — same total order
+    as the IVF search, so candidate sets are partition-independent."""
+    cat_sc = np.concatenate([best_sc, S], axis=1)
+    cat_ix = np.concatenate(
+        [best_ix, np.broadcast_to(idx, (len(S), len(idx)))], axis=1
+    )
+    keep = np.lexsort((cat_ix, -cat_sc), axis=1)[:, :kc]
+    return (
+        np.take_along_axis(cat_sc, keep, axis=1),
+        np.take_along_axis(cat_ix, keep, axis=1),
+    )
+
+
+class _PqIndex:
+    """Executor-side PQ preselect state (from one broadcast tuple).
+
+    codes are cell-grouped (CSR) when built with centroids (IndexIVFPQ
+    shape); ``cell_ptr is None`` means flat PQ (blocked full scan)."""
+
+    BLOCK = 1024          # query rows per kernel block
+    CODE_BLOCK = 65_536   # flat-scan code rows per block
+
+    def __init__(self, eids, gcodes, perm, cell_ptr, CT, books):
+        self.eids = eids
+        self.gcodes = gcodes
+        self.perm = perm
+        self.cell_ptr = cell_ptr
+        self.CT = CT
+        self.books = books
+        self.stats = {"max_score_cols": 0}
+
+    _cached: "_PqIndex | None" = None
+
+    @classmethod
+    def from_broadcast(cls, value):
+        inst = cls._cached
+        if inst is None or inst._payload is not value:
+            inst = cls(*value)
+            inst._payload = value
+            cls._cached = inst
+        return inst
+
+    def _track(self, cols: int) -> None:
+        if cols > self.stats["max_score_cols"]:
+            self.stats["max_score_cols"] = cols
+
+    def preselect(self, Q: np.ndarray, kc: int, nprobe: int = 0):
+        if len(Q) <= self.BLOCK:
+            return self._preselect_block(Q, kc, nprobe)
+        return np.concatenate(
+            [self._preselect_block(Q[i: i + self.BLOCK], kc, nprobe)
+             for i in range(0, len(Q), self.BLOCK)],
+            axis=0,
+        )
+
+    def _preselect_block(self, Q: np.ndarray, kc: int, nprobe: int):
+        n = len(Q)
+        E = len(self.gcodes)
+        if n == 0 or E == 0:
+            return np.zeros((n, 0), dtype=np.int64)
+        kc = min(kc, E)
+        lut = _query_luts(Q.astype(np.float64, copy=False), self.books)
+        best_sc = np.full((n, kc), -np.inf, dtype=np.float32)
+        best_ix = np.zeros((n, kc), dtype=np.int64)
+        n_cells = 0 if self.cell_ptr is None else len(self.cell_ptr) - 1
+        if n_cells and 0 < nprobe < n_cells:
+            # IVF-PQ: gather only probed cells' codes
+            cs = Q.astype(np.float64, copy=False) @ self.CT
+            probe = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]
+            flat_rows = np.repeat(np.arange(n), nprobe)
+            flat_cells = probe.ravel()
+            order = np.argsort(flat_cells, kind="stable")
+            fr, fc = flat_rows[order], flat_cells[order]
+            cells, starts = np.unique(fc, return_index=True)
+            bounds = np.append(starts, len(fc))
+            for ci, c in enumerate(cells):
+                s, e = int(self.cell_ptr[c]), int(self.cell_ptr[c + 1])
+                if s == e:
+                    continue
+                rows = fr[bounds[ci]:bounds[ci + 1]]
+                S = _lut_scores(lut[rows], self.gcodes[s:e])
+                self._track(kc + (e - s))
+                sc, ix = _merge_topk(
+                    best_sc[rows], best_ix[rows], S, self.perm[s:e], kc
+                )
+                best_sc[rows], best_ix[rows] = sc, ix
+        else:
+            # flat (or exhaustive-probe): E-blocked scan, running top-kc
+            for b0 in range(0, E, self.CODE_BLOCK):
+                cb = self.gcodes[b0:b0 + self.CODE_BLOCK]
+                S = _lut_scores(lut, cb)
+                self._track(kc + len(cb))
+                best_sc, best_ix = _merge_topk(
+                    best_sc, best_ix, S, self.perm[b0:b0 + len(cb)], kc
+                )
+        return best_ix
+
+
+def build_pq_broadcast_value(
+    entities_pdf: pd.DataFrame,
+    books: np.ndarray,
+    centroids: np.ndarray | None = None,
+):
+    """Broadcast payload for _PqIndex.  With ``centroids``, codes are
+    grouped by IVF cell (IndexIVFPQ); without, identity layout."""
+    eids, emat = _entity_arrays(entities_pdf)
+    codes = pq_encode(emat, books)
+    if centroids is None:
+        perm = np.arange(len(eids), dtype=np.int64)
+        return (eids, codes, perm, None, None, books)
+    n_cells = len(centroids)
+    assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
+    perm = np.argsort(assign, kind="stable").astype(np.int64)
+    counts = np.bincount(assign, minlength=n_cells)
+    cell_ptr = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(counts, out=cell_ptr[1:])
+    return (
+        eids,
+        np.ascontiguousarray(codes[perm]),
+        perm,
+        cell_ptr,
+        np.ascontiguousarray(centroids.T),
         books,
     )
-    scores = np.zeros((nq, len(codes)))
-    for m in range(M):
-        scores += lut[:, m, :][:, codes[:, m].astype(np.int64)]
-    return scores
 
 
 def link_pq(
@@ -112,6 +261,8 @@ def link_pq(
     k: int = 1,
     tau: float = 0.0,
     kc: int = 32,
+    centroids: np.ndarray | None = None,
+    nprobe: int = 32,
     mention_keys: tuple[str, ...] = ("doc_id", "span_idx"),
     carry_cols: tuple[str, ...] = ("kind",),
 ) -> DataFrame:
@@ -120,12 +271,13 @@ def link_pq(
     ``entities_pdf`` is used only to BUILD codes here (in production the
     codes table is built once by a separate job, like save_index); the
     full-precision vectors are read from the ``entities`` DataFrame at
-    rescore time and are never broadcast.
+    rescore time and are never broadcast.  ``centroids`` switches the
+    preselect to IVF-PQ (probed-cell gathers only).
     """
     spark = mentions.sparkSession
-    eids, emat = _entity_arrays(entities_pdf)
-    codes = pq_encode(emat, books)
-    bc = spark.sparkContext.broadcast((eids, codes, books))
+    bc = spark.sparkContext.broadcast(
+        build_pq_broadcast_value(entities_pdf, books, centroids)
+    )
 
     keys = list(mention_keys)
     ment = mentions.filter(F.col("embedding").isNotNull())
@@ -133,25 +285,27 @@ def link_pq(
         f"{f.name} {f.dataType.simpleString()}"
         for f in ment.schema.fields if f.name in keys
     )
+    np_ = nprobe
 
     def preselect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        eids_b, codes_b, books_b = bc.value
+        idx = _PqIndex.from_broadcast(bc.value)
         for pdf in batches:
             if pdf.empty:
                 continue
             Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            scores = pq_scores(Q, books_b, codes_b)
-            ncand = min(kc, scores.shape[1])
-            cand = np.argpartition(-scores, ncand - 1, axis=1)[:, :ncand]
+            cand = idx.preselect(Q, kc, np_)
+            ncand = cand.shape[1]
+            if ncand == 0:
+                continue
             out = pdf[keys].iloc[
                 np.repeat(np.arange(len(pdf)), ncand)
             ].reset_index(drop=True)
-            out["entity_id"] = eids_b[cand.ravel()]
+            out["entity_id"] = idx.eids[cand.ravel()]
             yield out
 
     cands = ment.select(*keys, "embedding").mapInPandas(
         preselect, schema=f"{key_schema}, entity_id string"
-    )
+    ).dropDuplicates([*keys, "entity_id"])
     m_emb = ment.select(*keys, *carry_cols, F.col("embedding").alias("m_emb"))
     e_emb = entities.select("entity_id", F.col("embedding").alias("e_emb"))
     scored = (

@@ -1,4 +1,5 @@
-"""PQ preselect + exact rescore: P/R gate and pure-math sanity."""
+"""PQ preselect + exact rescore: P/R gates, memory-shape gate, and
+pure-math sanity."""
 
 import numpy as np
 
@@ -8,7 +9,15 @@ from cli_p_spark.fixtures.generate import (
     documents_to_spark,
     entities_to_spark,
 )
-from cli_p_spark.operators.pq import link_pq, pq_encode, pq_scores, train_pq
+from cli_p_spark.operators.pq import (
+    _lut_scores,
+    _PqIndex,
+    _query_luts,
+    build_pq_broadcast_value,
+    link_pq,
+    pq_encode,
+    train_pq,
+)
 from cli_p_spark.oracle.exact import golden_triples, precision_recall
 from cli_p_spark.plans.pipeline import (
     encode_mentions,
@@ -18,14 +27,14 @@ from cli_p_spark.plans.pipeline import (
 )
 
 
-def test_pq_scores_approximate_dots():
+def test_pq_lut_scores_approximate_dots():
     rng = np.random.default_rng(3)
     X = rng.standard_normal((500, 64))
     X /= np.linalg.norm(X, axis=1, keepdims=True)
     books = train_pq(X, m_subspaces=8)
     codes = pq_encode(X, books)
     Q = X[:20]
-    approx = pq_scores(Q, books, codes)
+    approx = _lut_scores(_query_luts(Q, books), codes)
     exact = Q @ X.T
     # PQ reconstruction keeps dots close and rank-1 usually right
     err = np.abs(approx - exact).mean()
@@ -43,6 +52,56 @@ def test_pq_deterministic():
     assert np.array_equal(pq_encode(X, a), pq_encode(X, b))
 
 
+def test_pq_preselect_blocked_matches_unblocked():
+    """The E-blocked running-top-kc scan returns the same candidates as a
+    single-block scan (merge order independence)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((4_000, 32)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = train_pq(X, m_subspaces=4)
+    pdf = pd.DataFrame(
+        {"entity_id": [f"e{i:06d}" for i in range(len(X))],
+         "embedding": list(X)}
+    )
+    payload = build_pq_broadcast_value(pdf, books)
+    a = _PqIndex(*payload)
+    b = _PqIndex(*payload)
+    b.CODE_BLOCK = 257  # force many merge rounds
+    Q = np.asarray(X[:10], dtype=np.float64)
+    assert np.array_equal(a.preselect(Q, 16), b.preselect(Q, 16))
+
+
+def test_ivfpq_no_dense_scores_at_scale():
+    """Scale gate: at E=200k, IVF-PQ preselect peak score width is
+    bounded by max probed cell + kc, never [n, E] (the round-1 cliff)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(12)
+    E, dim, nlist, nprobe, kc = 200_000, 16, 128, 8, 16
+    X = rng.standard_normal((E, dim)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    books = train_pq(X, m_subspaces=4, max_train=20_000)
+    C = rng.standard_normal((nlist, dim))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {"entity_id": [f"e{i:07d}" for i in range(E)], "embedding": list(X)}
+    )
+    payload = build_pq_broadcast_value(pdf, books, centroids=C)
+    idx = _PqIndex(*payload)
+    max_cell = int(np.diff(payload[3]).max())
+    Q = np.asarray(X[:64], dtype=np.float64)
+    cand = idx.preselect(Q, kc, nprobe)
+    assert cand.shape == (64, kc)
+    assert idx.stats["max_score_cols"] <= max_cell + kc
+    assert idx.stats["max_score_cols"] < E // 10
+    # the query's own cell is probed -> the vector itself (near-exact PQ
+    # score) should preselect itself most of the time
+    self_hit = (cand == np.arange(64)[:, None]).any(axis=1).mean()
+    assert self_hit >= 0.9, self_hit
+
+
 def test_pq_linking_pr_gate(spark):
     """PQ preselect (kc=32) + exact rescore holds P/R >= 0.95 — the
     big-index strategy where full vectors never broadcast."""
@@ -56,6 +115,30 @@ def test_pq_linking_pr_gate(spark):
     entities = entities_to_spark(spark, ents_pdf)
     links = link_pq(
         mentions, entities, ents_pdf, books, k=cfg.k, tau=cfg.tau, kc=32
+    )
+    got = triples_from_links(links).toPandas()
+    golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
+    p, r = precision_recall(got, golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_ivfpq_linking_pr_gate(spark):
+    """IVF-PQ (cell-pruned preselect) + exact rescore holds the same
+    P/R gate at the reference's nlist=100/nprobe=32."""
+    from cli_p_spark.operators.ann import train_centroids
+
+    cfg = PipelineConfig()
+    docs_pdf, ents_pdf = corpus(n_docs=150, n_entities=1000)
+    docs = documents_to_spark(spark, docs_pdf)
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    books = train_pq(emat, m_subspaces=8)
+    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+    ok, _ = split_skips(encode_mentions(explode_spans(docs), cfg))
+    mentions = ok.select("doc_id", "span_idx", "kind", "embedding")
+    entities = entities_to_spark(spark, ents_pdf)
+    links = link_pq(
+        mentions, entities, ents_pdf, books, k=cfg.k, tau=cfg.tau, kc=32,
+        centroids=centroids, nprobe=32,
     )
     got = triples_from_links(links).toPandas()
     golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
