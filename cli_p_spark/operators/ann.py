@@ -100,13 +100,23 @@ def train_centroids_distributed(
     itself is the seeded NumPy trainer)."""
     from pyspark.sql import functions as F
 
-    n = entities.count()
-    frac = min(1.0, (max_train * 1.05) / max(n, 1))
+    # deterministic layout-independent sample: global top-max_train by a
+    # content hash (TakeOrdered: per-partition partial top-N, no full
+    # shuffle).  sample().limit() would keep whichever rows arrived
+    # first — partition-layout-dependent, breaking cross-cluster resume.
     sample = (
-        entities.select(embedding_col).sample(frac, seed=seed)
-        .limit(max_train).toPandas()
+        entities.select(F.col(embedding_col).alias("_e"))
+        .filter(F.col("_e").isNotNull())
+        .withColumn(
+            "_r", F.xxhash64(F.lit(seed), F.col("_e").cast("array<string>"))
+        )
+        .orderBy("_r")
+        .limit(max_train)
+        .toPandas()
     )
-    X = np.stack(sample[embedding_col].to_numpy())
+    if sample.empty:
+        raise ValueError("train_centroids_distributed: no embeddings")
+    X = np.stack(sample["_e"].to_numpy())
     return train_centroids(X, nlist=nlist, iters=iters, seed=seed,
                            max_train=max_train)
 
@@ -339,13 +349,25 @@ class _IvfIndex:
 
 
 def save_index(
-    spark, base_dir: str, entities_pdf: pd.DataFrame, centroids: np.ndarray
+    spark, base_dir: str, entities, centroids: np.ndarray
 ) -> None:
     """Persist the trained index as tables (the reference's
     faiss.write_index, build-index.py:109): centroids + cell-assigned
-    entities, partitioned by cell for locality."""
+    entities, partitioned by cell for locality.
+
+    ``entities`` is a Spark DataFrame(entity_id, embedding, ...): cell
+    assignment and the partitioned write run DISTRIBUTED (the round-1
+    driver row-loop is gone — a 10^7-entity index writes without ever
+    materializing on the driver).  A pandas frame is accepted for
+    convenience and converted first.  Centroids are nlist rows — driver-
+    side by construction."""
     from ..plans.tables import TableStore
 
+    if isinstance(entities, pd.DataFrame):
+        entities = spark.createDataFrame(
+            entities[["entity_id", "embedding"]],
+            "entity_id string, embedding array<float>",
+        )
     store = TableStore(spark, base_dir)
     cent_rows = [
         (i, centroids[i].astype(float).tolist())
@@ -355,32 +377,37 @@ def save_index(
         spark.createDataFrame(cent_rows, "cell int, centroid array<double>"),
         "centroids",
     )
-    eids, emat = _entity_arrays(entities_pdf)
-    assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
-    ent_rows = [
-        (str(eids[i]), emat[i].astype(float).tolist(), int(assign[i]))
-        for i in range(len(eids))
-    ]
-    store.append(
-        spark.createDataFrame(
-            ent_rows, "entity_id string, embedding array<float>, cell int"
+    bucketed = add_bucket(
+        entities.select(
+            F.col("entity_id").cast("string").alias("entity_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
         ),
-        "entity_index",
-        partition_by=("cell",),
+        centroids,
+        bucket_col="cell",
     )
+    store.append(bucketed, "entity_index", partition_by=("cell",))
 
 
 def load_index(spark, base_dir: str) -> tuple[pd.DataFrame, np.ndarray]:
     """Reload (entities_pdf, centroids) (faiss.read_index,
-    query-index.py:29).  Order-insensitive: search sorts by entity_id."""
+    query-index.py:29) for the broadcast search regime (index fits one
+    machine — the reference's own, query-index.py:29).  Order-
+    insensitive: search sorts by entity_id.  For indexes beyond driver
+    memory use load_index_df + link_ann_join instead."""
+    ents_df, centroids = load_index_df(spark, base_dir)
+    return ents_df.toPandas(), centroids
+
+
+def load_index_df(spark, base_dir: str) -> tuple[DataFrame, np.ndarray]:
+    """(entity DataFrame(entity_id, embedding), centroids) — the scale
+    path: the entity side stays distributed for the bucket equi-join
+    strategy (link_ann_join)."""
     from ..plans.tables import TableStore
 
     store = TableStore(spark, base_dir)
     cents = store.read("centroids").toPandas().sort_values("cell")
     centroids = np.stack(cents["centroid"].to_numpy()).astype(np.float64)
-    ents = store.read("entity_index").select(
-        "entity_id", "embedding"
-    ).toPandas()
+    ents = store.read("entity_index").select("entity_id", "embedding")
     return ents, centroids
 
 

@@ -31,28 +31,10 @@ explosions should be capped with a bucket-size guard (max_bucket)."""
 
 from __future__ import annotations
 
-import hashlib
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from ..config import SEED
-
-# Mersenne prime for universal hashing
-_P = (1 << 61) - 1
-
-
-def _stable_hash(s: str) -> int:
-    """Process-independent 64-bit string hash (Python's hash() varies with
-    PYTHONHASHSEED across executors — never use it in a Spark UDF)."""
-    return int.from_bytes(
-        hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-    )
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -63,55 +45,67 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingles(text: str, w: int) -> set[int]:
-    toks = text.lower().split()
-    if len(toks) < w:
-        return {_stable_hash(" ".join(toks))} if toks else set()
-    return {
-        _stable_hash(" ".join(toks[i: i + w]))
-        for i in range(len(toks) - w + 1)
-    }
+def _tokens(content_col: str):
+    """Whitespace tokens, lowercased, empties dropped — JVM-side twin of
+    Python's str.lower().split()."""
+    return F.filter(
+        F.split(F.lower(F.col(content_col)), r"\s+"), lambda t: t != ""
+    )
 
 
-def make_minhash_udf(n_hashes: int = 64, shingle_w: int = 3,
-                     seed: int = SEED):
-    """text -> array<long> of n_hashes MinHash values (word shingles).
+def _shingle_array(content_col: str, w: int):
+    """array<string> of word w-shingles; short texts yield their single
+    full-token shingle; token-less texts yield an empty array."""
+    toks = _tokens(content_col)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - w),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+    )
+    return (
+        F.when(F.size(toks) >= w, windows)
+        .when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
-    h_i(x) = finalize(a_i * x + b_i mod 2^64) — multiply-add with natural
-    uint64 wraparound plus a splitmix64-style finisher (xor-shift, odd
-    multiply, xor-shift).  A plain (a*x+b) mod P family is NOT usable
-    here: for x << P the product never wraps the modulus, h is monotone
-    in x, and every hash picks the same min shingle (zero min-wise
-    independence — found the hard way).  Vectorized NumPy
-    [n_shingles, n_hashes] broadcasting per document."""
-    rng = np.random.default_rng(seed)
-    A = (rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64) << 1) | 1
-    B = rng.integers(0, 1 << 63, size=n_hashes, dtype=np.uint64)
-    _FIN = np.uint64(0xFF51AFD7ED558CCD)
 
-    @pandas_udf("array<long>")
-    def minhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        old = np.seterr(over="ignore")  # uint64 wraparound is intended
-        try:
-            for s in batches:
-                out = []
-                for text in s:
-                    sh = _shingles(text or "", shingle_w)
-                    if not sh:
-                        out.append(np.zeros(n_hashes, dtype=np.int64))
-                        continue
-                    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-                    v = x[:, None] * A[None, :] + B[None, :]
-                    v ^= v >> np.uint64(33)
-                    v *= _FIN
-                    v ^= v >> np.uint64(29)
-                    hv = v.min(axis=0)
-                    out.append((hv >> np.uint64(1)).astype(np.int64))
-                yield pd.Series(out, dtype=object)
-        finally:
-            np.seterr(**old)
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    shingle_w: int = 3,
+    seed: int = SEED,
+) -> DataFrame:
+    """(_id, _sig array<long>) MinHash signatures — ZERO Python in the
+    path (input_hint: no per-row Python on hot paths; 10^12 docs pass
+    through here).
 
-    return minhash
+    Shingles are exploded JVM-side; each shingle is hashed ONCE with
+    xxhash64, then the n_hashes independent families are n_hashes cheap
+    xxhash64 mixes of that fixed-width value with (seed, i) salts —
+    min-wise independence comes from xxhash64's avalanche, not from an
+    (a*x+b) mod P family (which is order-preserving for small x — zero
+    min-wise independence, the round-1 hard-won gotcha).  The signature
+    aggregation is one shuffle with partial (map-side) min combine.
+    Token-less docs get the all-zeros signature."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingle_array(content_col, shingle_w)).alias("_g"),
+    ).withColumn("_h", F.xxhash64("_g"))
+    sig = grams.groupBy("_id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("_h")))
+                for i in range(n_hashes)
+            ]
+        ).alias("_sig")
+    )
+    zeros = F.array(*[F.lit(0).cast("long")] * n_hashes)
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(sig, "_id", "left")
+        .select("_id", F.coalesce("_sig", zeros).alias("_sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -133,10 +127,8 @@ def minhash_lsh_pairs(
     Jaccard swap in a shingle-set join — estimator keeps verification a
     fixed-width column compare, scale-friendly)."""
     r = n_hashes // bands
-    mh = make_minhash_udf(n_hashes, shingle_w, seed)
-    sig = df.select(
-        F.col(id_col).alias("_id"), mh(F.col(content_col)).alias("_sig")
-    )
+    sig = minhash_signatures(df, content_col, id_col, n_hashes, shingle_w,
+                             seed)
 
     band_cols = [
         F.xxhash64(
@@ -182,38 +174,44 @@ def minhash_lsh_pairs(
     )
 
 
-def make_simhash_udf(bits: int = 64, seed: int = SEED):
-    """text -> long SimHash fingerprint: sign of token-hash-vector sum."""
-    rng = np.random.default_rng(seed ^ 0x51A7)
-    # per-bit random sign is derived from the token hash itself: bit j of
-    # xxhash-like mix decides +1/-1 — no stored planes needed
-    mix_a = int(rng.integers(1, _P))
-    mix_b = int(rng.integers(0, _P))
+def simhash_fingerprints(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    seed: int = SEED,
+) -> DataFrame:
+    """(_id, _fp long) 64-bit SimHash — sign of the token-hash-vector sum,
+    computed ENTIRELY JVM-side (no per-token Python; input_hint).
 
-    @pandas_udf("long")
-    def simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in batches:
-            out = np.zeros(len(s), dtype=np.int64)
-            for i, text in enumerate(s):
-                toks = (text or "").lower().split()
-                if not toks:
-                    continue
-                hs = np.fromiter(
-                    ((_stable_hash(t) * mix_a + mix_b) % _P for t in toks),
-                    dtype=np.uint64, count=len(toks),
-                )
-                # expand each 61-bit hash to `bits` sign bits
-                cols = np.arange(bits, dtype=np.uint64)
-                signbits = ((hs[:, None] >> (cols[None, :] % 61)) & 1)
-                acc = np.where(signbits == 1, 1, -1).sum(axis=0)
-                fp = 0
-                for j in range(bits):
-                    if acc[j] > 0:
-                        fp |= 1 << j
-                out[i] = np.int64(np.uint64(fp).astype(np.int64))
-            yield pd.Series(out)
-
-    return simhash
+    Each token hashes once (xxhash64(seed, token)); its 64 hash bits ARE
+    the 64 independent ±1 plane signs (an avalanche hash's bits are
+    pairwise independent — unlike the round-1 61-bit cyclic reuse, where
+    bits 61-63 duplicated bits 0-2 and correlated the bands).  bit j of
+    the fingerprint = majority of tokens' bit j: one groupBy with 64
+    partial-aggregated bit-count sums.  Duplicate tokens weigh per
+    occurrence.  Token-less docs fingerprint to 0."""
+    toked = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(content_col)).alias("_t"),
+    ).withColumn("_h", F.xxhash64(F.lit(seed), F.col("_t")))
+    agg = toked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(F.getbit("_h", F.lit(j))).alias(f"_b{j}") for j in range(64)],
+    )
+    # bit j set iff ones-count strictly beats zeros-count (acc > 0)
+    fp = None
+    for j in range(64):
+        term = F.when(
+            F.col(f"_b{j}") * 2 > F.col("_cnt"),
+            F.shiftleft(F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    fps = agg.select("_id", fp.alias("_fp"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(fps, "_id", "left")
+        .select("_id", F.coalesce("_fp", F.lit(0).cast("long")).alias("_fp"))
+    )
 
 
 def simhash_pairs(
@@ -229,10 +227,8 @@ def simhash_pairs(
     Candidates: equal 16-bit band of the 64-bit fingerprint (pigeonhole:
     hamming <= bands-1 guarantees >=1 identical band; max_hamming=3 with
     4 bands is exact-complete).  Verification: JVM-side popcount via
-    bit_count(xor) — no Python in the verify path."""
-    sh = make_simhash_udf(64, seed)
-    fp = df.select(F.col(id_col).alias("_id"),
-                   sh(F.col(content_col)).alias("_fp"))
+    bit_count(xor) — no Python anywhere in the path."""
+    fp = simhash_fingerprints(df, content_col, id_col, seed)
     width = 64 // bands
     mask = (1 << width) - 1
     band_cols = [
@@ -337,6 +333,31 @@ def winnow_neardup_pairs(
     )
 
 
+def _unit_vectors(df: DataFrame, embedding_col: str, id_col: str,
+                  out_id: str = "_nid", out_emb: str = "_emb") -> DataFrame:
+    """(id string, unit-normalized embedding) — JVM-side normalization
+    with the zero-norm passthrough guard."""
+    nodes = df.select(
+        F.col(id_col).cast("string").alias(out_id),
+        F.col(embedding_col).alias(out_emb),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(out_emb, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double"),
+        )
+    )
+    return nodes.select(
+        out_id,
+        F.transform(
+            out_emb,
+            lambda x: (x / F.when(nrm < 1e-9, F.lit(1.0)).otherwise(nrm))
+            .cast("float"),
+        ).alias(out_emb),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     embedding_col: str,
@@ -344,80 +365,65 @@ def embedding_neardup_pairs(
     tau: float = 0.95,
     nlist: int = 100,
     nprobe: int = 32,
-    k: int = 10,
     seed: int = SEED,
     strategy: str = "ivf",
 ) -> DataFrame:
-    """Cosine near-duplicate pairs.
+    """ALL cosine near-duplicate pairs (src, dst, cosine) with
+    cosine >= tau (no top-k cap: a vector with many near-dups reports
+    every one — the round-1 k cap silently missed pairs beyond the k-th
+    neighbor, a latent contract failure vs the all-pairs oracle).
 
-    strategy='ivf': broadcast IVF self-join (operators/ann.py) — right
-    when the whole vector set fits executors and tau is moderate.
+    strategy='ivf': fully distributed IVF bucket self-join — executor-
+    side sampled centroid training, probe-cell explode, ids-only
+    candidate join, exact cosine verify.  No driver collect anywhere
+    (the round-1 toPandas() of the whole vector set is gone); candidate
+    volume is the probe overlap (~nprobe/nlist of all pairs), AQE skew
+    join splits hot cells.  nprobe=nlist degenerates to the exact
+    all-pairs result.
     strategy='lsh': banded sign-LSH (operators/lsh.py) — the
     sub-quadratic path for tau near 1 at corpus scale.
     """
-    from .ann import link_ivf_broadcast, train_centroids
-
     if strategy == "lsh":
         from .lsh import hyperplane_lsh_pairs
 
         dim = len(df.select(embedding_col).first()[0])
-        nodes = df.select(
-            F.col(id_col).cast("string").alias("_nid"),
-            F.col(embedding_col).alias("_emb"),
-        )
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform("_emb", lambda x: x * x),
-                F.lit(0.0),
-                lambda a, x: a + x.cast("double"),
-            )
-        )
-        unit = nodes.select(
-            "_nid",
-            F.transform(
-                "_emb",
-                lambda x: (x / F.when(nrm < 1e-9, F.lit(1.0)).otherwise(nrm))
-                .cast("float"),
-            ).alias("_emb"),
-        )
+        unit = _unit_vectors(df, embedding_col, id_col)
         return hyperplane_lsh_pairs(
             unit, "_emb", "_nid", tau=tau, dim=dim, seed=seed
         )
 
-    pdf = df.select(
-        F.col(id_col).cast("string").alias("entity_id"),
-        F.col(embedding_col).alias("embedding"),
-    ).toPandas()
-    emat = np.stack(pdf["embedding"].to_numpy())
-    norms = np.linalg.norm(emat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    pdf = pdf.assign(embedding=list((emat / norms).astype(np.float32)))
-    centroids = train_centroids(emat / norms, nlist=nlist, seed=seed)
-    # normalize probe side JVM-side to unit vectors for cosine
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(embedding_col, lambda x: x * x),
-            F.lit(0.0),
-            lambda a, x: a + x.cast("double"),
-        )
+    from .ann import add_bucket, add_probes, train_centroids_distributed
+    from .link import cosine_expr
+
+    unit = _unit_vectors(df, embedding_col, id_col)
+    centroids = train_centroids_distributed(
+        unit, nlist=nlist, seed=seed, embedding_col="_emb"
     )
-    probe = df.select(
-        F.col(id_col).cast("string").alias("probe_id"),
-        F.transform(
-            embedding_col, lambda x: (x / F.when(nrm < 1e-9, 1.0).otherwise(nrm)).cast("float")
-        ).alias("embedding"),
-    )
-    links = link_ivf_broadcast(
-        probe, pdf, centroids, k=k, tau=tau, nprobe=nprobe
-    )
-    return (
-        links.filter(F.col("probe_id") != F.col("entity_id"))
+    ent = add_bucket(unit, centroids, embedding_col="_emb")
+    ent_ids = ent.select(F.col("_nid").alias("dst_id"), "bucket")
+    probes = add_probes(
+        unit, centroids, nprobe, embedding_col="_emb"
+    ).select(F.col("_nid").alias("src_id"),
+             F.explode("probes").alias("bucket"))
+    # candidate pairs: ids only; canonical (least, greatest) orientation
+    # BEFORE dedup so both probe directions collapse to one row
+    cand = (
+        probes.join(ent_ids, "bucket")
+        .filter(F.col("src_id") != F.col("dst_id"))
         .select(
-            F.least("probe_id", "entity_id").alias("src"),
-            F.greatest("probe_id", "entity_id").alias("dst"),
-            F.col("score").alias("cosine"),
+            F.least("src_id", "dst_id").alias("src"),
+            F.greatest("src_id", "dst_id").alias("dst"),
         )
         .dropDuplicates(["src", "dst"])
+    )
+    a = unit.select(F.col("_nid").alias("src"), F.col("_emb").alias("_ea"))
+    b = unit.select(F.col("_nid").alias("dst"), F.col("_emb").alias("_eb"))
+    return (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .withColumn("cosine", cosine_expr("_ea", "_eb"))
+        .filter(F.col("cosine") >= tau)
+        .select("src", "dst", "cosine")
     )
 
 

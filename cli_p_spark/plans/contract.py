@@ -946,13 +946,15 @@ def simhash_dedup_pairs(spark, sf_dir):
 
 
 def embedding_neardup_cosine(spark, sf_dir):
-    """Cosine pairs >= 0.4 via the IVF self-join at nprobe=nlist
-    (exhaustive => exact => SQL-oracle-able)."""
+    """Cosine pairs >= 0.4 via the distributed IVF bucket self-join at
+    nprobe=nlist (exhaustive => exact => SQL-oracle-able).  No top-k cap:
+    the result is ALL pairs above tau, matching the all-pairs oracle for
+    any data distribution."""
     from ..operators.dedup import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(
-        e, "embedding", "vec_id", tau=0.4, nlist=32, nprobe=32, k=50
+        e, "embedding", "vec_id", tau=0.4, nlist=32, nprobe=32
     )
     return pairs.select(
         "src", "dst", F.round("cosine", 4).alias("cosine")
