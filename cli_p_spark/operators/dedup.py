@@ -126,9 +126,26 @@ def minhash_lsh_pairs(
     agreeing MinHash components (unbiased estimator; for exact set
     Jaccard swap in a shingle-set join — estimator keeps verification a
     fixed-width column compare, scale-friendly)."""
-    r = n_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, n_hashes, shingle_w,
                              seed)
+    return lsh_pairs_from_signatures(
+        sig, n_hashes=n_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+    )
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded-LSH pair generation over a precomputed signature table
+    (_id, _sig array<long>) — split out so signatures can be persisted
+    once and banded many times (and so the DuckDB oracle can check the
+    banding+verify logic over the exact same staged signatures)."""
+    r = n_hashes // bands
 
     band_cols = [
         F.xxhash64(
@@ -229,6 +246,17 @@ def simhash_pairs(
     4 bands is exact-complete).  Verification: JVM-side popcount via
     bit_count(xor) — no Python anywhere in the path."""
     fp = simhash_fingerprints(df, content_col, id_col, seed)
+    return simhash_pairs_from_fingerprints(fp, max_hamming, bands)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded Hamming pairs over a precomputed fingerprint table
+    (_id, _fp long) — persist-once / oracle-checkable twin of
+    simhash_pairs."""
     width = 64 // bands
     mask = (1 << width) - 1
     band_cols = [

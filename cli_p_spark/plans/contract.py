@@ -922,8 +922,27 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.02
 
 
 # ---------------------------------------------------------------------------
-# dedup (UDF-hash based -> rows-only where hashes are engine-specific)
+# dedup — signature/fingerprint tables are STAGED to parquet by the Spark
+# query, then BOTH engines derive pairs from the same staged bytes: the
+# oracle checks the banding + verification logic end-to-end even though
+# the hash values themselves are engine-specific.
 # ---------------------------------------------------------------------------
+
+_STAGE_DIR = "/tmp/cli_p_spark_oracle"
+
+
+def _stage(df, name: str) -> "DataFrame":
+    """Write a deterministic intermediate where the DuckDB oracle can
+    read_parquet it, and return the read-back frame (so the Spark result
+    provably derives from the staged bytes, not a recomputation)."""
+    path = f"{_STAGE_DIR}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _staged_sql(name: str) -> str:
+    return f"read_parquet('{_STAGE_DIR}/{name}/*.parquet')"
+
 
 def _docs_as_text(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
@@ -932,17 +951,73 @@ def _docs_as_text(spark, sf_dir):
 
 
 def minhash_dedup_pairs(spark, sf_dir):
-    from ..operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH near-dup pairs, banded+verified from staged signatures
+    (bucket guard disabled here so the banding semantics are exactly the
+    oracle's EXISTS-equal-band predicate)."""
+    from ..operators.dedup import (
+        lsh_pairs_from_signatures,
+        minhash_signatures,
+    )
 
     d = _docs_as_text(spark, sf_dir)
-    return minhash_lsh_pairs(d, "text", "doc_id", jaccard_threshold=0.5)
+    sig = _stage(
+        minhash_signatures(d, "text", "doc_id", n_hashes=64, shingle_w=3),
+        "minhash_sigs",
+    )
+    return lsh_pairs_from_signatures(
+        sig, n_hashes=64, bands=16, jaccard_threshold=0.5,
+        max_bucket=1 << 30,
+    )
+
+
+def _minhash_sql() -> str:
+    r, bands, n = 4, 16, 64
+    band_eq = " OR ".join(
+        f"a._sig[{b * r + 1}:{b * r + r}] = b._sig[{b * r + 1}:{b * r + r}]"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a._sig[{i}] = b._sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, n + 1)
+    )
+    return f"""
+SELECT src, dst, jaccard FROM (
+  SELECT a._id AS src, b._id AS dst, ({agree}) / {n}.0 AS jaccard
+  FROM {_staged_sql('minhash_sigs')} a
+  JOIN {_staged_sql('minhash_sigs')} b ON a._id < b._id
+  WHERE {band_eq})
+WHERE jaccard >= 0.5
+"""
 
 
 def simhash_dedup_pairs(spark, sf_dir):
-    from ..operators.dedup import simhash_pairs
+    """SimHash near-dup pairs, banded+verified from staged fingerprints."""
+    from ..operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs_from_fingerprints,
+    )
 
     d = _docs_as_text(spark, sf_dir)
-    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+    fp = _stage(
+        simhash_fingerprints(d, "text", "doc_id"), "simhash_fps"
+    )
+    return simhash_pairs_from_fingerprints(fp, max_hamming=3, bands=4)
+
+
+def _simhash_sql() -> str:
+    band_eq = " OR ".join(
+        f"((a._fp >> {b * 16}) & 65535) = ((b._fp >> {b * 16}) & 65535)"
+        for b in range(4)
+    )
+    return f"""
+SELECT src, dst, hamming FROM (
+  SELECT a._id AS src, b._id AS dst,
+         CAST(bit_count(xor(a._fp, b._fp)) AS INTEGER) AS hamming
+  FROM {_staged_sql('simhash_fps')} a
+  JOIN {_staged_sql('simhash_fps')} b ON a._id < b._id
+  WHERE {band_eq})
+WHERE hamming <= 3
+"""
 
 
 def embedding_neardup_cosine(spark, sf_dir):
@@ -1112,7 +1187,13 @@ def media_frame_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# KG pipeline entries (no SQL oracle — gated by pytest vs NumPy oracle)
+# KG pipeline entries.  The encoder is a UDF, so the oracle strategy is
+# STAGING: the Spark query persists the deterministic intermediates
+# (mention embeddings + probe cells, entity cells, triples, CC edges) to
+# parquet and derives its result from the staged bytes; the DuckDB twin
+# expresses the REST of the pipeline (masked top-1 cosine linking, skip
+# predicate, recursive-CTE connected components) in SQL over the same
+# bytes.  kg_span_roundtrip stays rows-only (it is itself an invariant).
 # ---------------------------------------------------------------------------
 
 def _kg_corpus(spark):
@@ -1120,6 +1201,25 @@ def _kg_corpus(spark):
 
     docs_pdf, ents_pdf = corpus(n_docs=300, n_entities=150)
     return documents_to_spark(spark, docs_pdf), docs_pdf, ents_pdf
+
+
+def _kg_mentions(spark, cfg):
+    from .pipeline import encode_mentions, explode_spans, split_skips
+
+    docs, _, ents_pdf = _kg_corpus(spark)
+    ok, skips = split_skips(encode_mentions(explode_spans(docs), cfg))
+    return ok.select("doc_id", "span_idx", "kind", "embedding"), skips, \
+        ents_pdf, docs
+
+
+_KG_TRIPLE_SELECT = """
+SELECT doc_id AS subj,
+       CASE WHEN kind = 'text' THEN 'mentions' ELSE 'depicts' END AS pred,
+       entity_id AS obj,
+       ROUND(score, 4) AS score,
+       span_idx
+FROM ranked WHERE rn = 1 AND score >= 0.4
+"""
 
 
 def curate_training_corpus(spark, sf_dir):
@@ -1138,13 +1238,65 @@ def curate_training_corpus(spark, sf_dir):
 
 
 def kg_triples_exact(spark, sf_dir):
-    from .pipeline import build_triples_exact
+    """Exact rank-1 linking from STAGED mention embeddings + entities —
+    the DuckDB twin re-derives the same triples with window SQL."""
+    from ..fixtures.generate import entities_to_spark
+    from ..operators.link import link_exact_broadcast
+    from .pipeline import triples_from_links
 
-    docs, _, ents_pdf = _kg_corpus(spark)
-    triples, _ = build_triples_exact(docs, ents_pdf, PipelineConfig())
-    return triples.select(
+    cfg = PipelineConfig()
+    mentions, _, ents_pdf, _ = _kg_mentions(spark, cfg)
+    staged_m = _stage(mentions, "kg_mentions")
+    staged_e = _stage(
+        entities_to_spark(spark, ents_pdf).select("entity_id", "embedding"),
+        "kg_entities",
+    )
+    links = link_exact_broadcast(staged_m, ents_pdf, k=cfg.k, tau=-1.0)
+    rescored = _seqdot_rescore(links, staged_m, staged_e, cfg.tau)
+    return triples_from_links(rescored).select(
         "subj", "pred", "obj", F.round("score", 4).alias("score"), "span_idx"
     )
+
+
+def _seqdot_rescore(links, staged_m, staged_e, tau):
+    """Replace the BLAS GEMM score on selected links with the sequential
+    array-fold dot (cosine_expr) over the STAGED embeddings: NumPy's
+    pairwise-summed dot and DuckDB's list_dot_product disagree in the
+    last ulp often enough to flip ROUND(score, 4) on .xxx45 boundaries,
+    while Spark's aggregate() fold accumulates in the same element order
+    DuckDB does (bit-compatibility already evidenced by the green
+    knn_* entries).  Selection stays GEMM (rank flips would need two
+    entities within 1e-12 cosine — distinct embeddings never are)."""
+    m_emb = staged_m.select(
+        "doc_id", "span_idx", F.col("embedding").alias("_me")
+    )
+    e_emb = staged_e.select("entity_id", F.col("embedding").alias("_ee"))
+    return (
+        links.drop("score")
+        .join(m_emb, ["doc_id", "span_idx"])
+        .join(e_emb, "entity_id")
+        .withColumn("score", cosine_expr("_me", "_ee"))
+        .drop("_me", "_ee")
+        .filter(F.col("score") >= tau)
+    )
+
+
+KG_EXACT_SQL = f"""
+WITH m AS (SELECT * FROM {_staged_sql('kg_mentions')}),
+     e AS (SELECT * FROM {_staged_sql('kg_entities')}),
+scored AS (
+  -- CAST to DOUBLE[]: DuckDB's list_dot_product accumulates in float32
+  -- on FLOAT[] inputs; f64 sequential matches Spark's aggregate() fold
+  SELECT m.doc_id, m.span_idx, m.kind, e.entity_id,
+         list_dot_product(CAST(m.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS score
+  FROM m, e),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, span_idx
+              ORDER BY score DESC, entity_id ASC) AS rn
+  FROM scored)
+{_KG_TRIPLE_SELECT}
+"""
 
 
 def kg_span_roundtrip(spark, sf_dir):
@@ -1165,35 +1317,151 @@ def kg_span_roundtrip(spark, sf_dir):
 
 
 def kg_skips_quarantine(spark, sf_dir):
-    from .pipeline import build_triples_exact
+    """Quarantined spans (build-index.py:53-61 semantics): stage the
+    exploded spans; the oracle re-derives the skip set from the content
+    predicate the encoder fails on."""
+    from .pipeline import explode_spans
 
-    docs, _, ents_pdf = _kg_corpus(spark)
-    _, skips = build_triples_exact(docs, ents_pdf, PipelineConfig())
+    cfg = PipelineConfig()
+    docs, _, _ = _kg_corpus(spark)
+    spans = explode_spans(docs).select(
+        "doc_id", "span_idx", "kind", "media_ref",
+        F.when(F.col("kind") == "text", F.col("text"))
+        .otherwise(F.col("media_ref")).alias("content"),
+    )
+    _stage(spans, "kg_spans")
+    _, skips, _, _ = _kg_mentions(spark, cfg)
     return skips
 
 
-def kg_triples_ann(spark, sf_dir):
-    """IVF-bucket-join ANN linking at the reference's nlist/nprobe."""
-    from .pipeline import build_triples_ann
+KG_SKIPS_SQL = f"""
+SELECT doc_id, span_idx, kind, media_ref, 'decode_error' AS reason
+FROM {_staged_sql('kg_spans')}
+WHERE content LIKE '%CORRUPT%'
+"""
 
-    docs, _, ents_pdf = _kg_corpus(spark)
-    triples, _ = build_triples_ann(
-        docs, ents_pdf, PipelineConfig(), nlist=100, nprobe=32
+
+def kg_triples_ann(spark, sf_dir):
+    """IVF linking at the reference's nlist=100/nprobe=32: mention probe
+    cells and entity cell assignments are staged, and the oracle replays
+    the probe-masked exact top-1 in SQL — checking that nprobe pruning
+    changes results exactly the way the IVF contract says it should."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.ann import (
+        add_probes,
+        link_ivf_broadcast,
+        train_centroids,
     )
-    return triples.select(
+    from ..operators.link import _entity_arrays
+    from .pipeline import triples_from_links
+
+    cfg = PipelineConfig()
+    mentions, _, ents_pdf, _ = _kg_mentions(spark, cfg)
+    eids, emat = _entity_arrays(ents_pdf)
+    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+    staged_m = _stage(
+        add_probes(mentions, centroids, nprobe=32), "kg_mentions_probes"
+    )
+    assign = np.argmax(emat @ centroids.T, axis=1).astype(int)
+    cells_pdf = pd.DataFrame(
+        {
+            "entity_id": eids,
+            "embedding": [r.astype(np.float32) for r in emat],
+            "cell": assign,
+        }
+    )
+    staged_e = _stage(
+        spark.createDataFrame(
+            cells_pdf, "entity_id string, embedding array<float>, cell int"
+        ),
+        "kg_entities_cells",
+    )
+    links = link_ivf_broadcast(
+        staged_m.drop("probes"), ents_pdf, centroids,
+        k=cfg.k, tau=-1.0, nprobe=32,
+    )
+    rescored = _seqdot_rescore(
+        links, staged_m.drop("probes"), staged_e, cfg.tau
+    )
+    return triples_from_links(rescored).select(
         "subj", "pred", "obj", F.round("score", 4).alias("score"), "span_idx"
     )
 
 
+KG_ANN_SQL = f"""
+WITH m AS (SELECT * FROM {_staged_sql('kg_mentions_probes')}),
+     e AS (SELECT * FROM {_staged_sql('kg_entities_cells')}),
+scored AS (
+  SELECT m.doc_id, m.span_idx, m.kind, e.entity_id,
+         list_dot_product(CAST(m.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS score
+  FROM m JOIN e ON list_contains(m.probes, e.cell)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, span_idx
+              ORDER BY score DESC, entity_id ASC) AS rn
+  FROM scored)
+{_KG_TRIPLE_SELECT}
+"""
+
+
 def kg_canonical_triples(spark, sf_dir):
-    """Full pipeline: ANN link + CC canonicalization (subj = canonical id)."""
+    """Full pipeline: ANN link + CC canonicalization (subj = canonical
+    id).  Triples and near-dup edges are staged; BOTH engines then run
+    connected components over the same staged edges — Spark with the
+    salted large-star/small-star operator, DuckDB with a recursive-CTE
+    min-label reachability — and must agree on every canonical id."""
+    from ..operators.ccomp import canonical_mapping, connected_components
     from .pipeline import build_kg
 
     docs, _, ents_pdf = _kg_corpus(spark)
     out = build_kg(docs, ents_pdf, PipelineConfig())
-    return out["canonical_triples"].select(
-        "subj", "pred", "obj", F.round("score", 4).alias("score"), "span_idx"
+    trip = _stage(
+        out["triples"].select(
+            "subj", "pred", "obj",
+            F.round("score", 4).alias("score"), "span_idx",
+        ),
+        "kg_cc_triples",
     )
+    edges = _stage(out["edges"], "kg_cc_edges")
+    comps = connected_components(edges)
+    mention_ids = trip.select(
+        F.concat_ws("#", "subj", "span_idx").alias("node")
+    ).distinct()
+    canonical = canonical_mapping(comps, mention_ids)
+    return (
+        trip.withColumn("mention_id", F.concat_ws("#", "subj", "span_idx"))
+        .join(
+            canonical,
+            F.col("mention_id") == F.col("node"),
+        )
+        .select(
+            F.col("canonical_id").alias("subj"),
+            "pred", "obj", "score", "span_idx",
+        )
+    )
+
+
+KG_CANONICAL_SQL = f"""
+WITH RECURSIVE
+t AS (SELECT * FROM {_staged_sql('kg_cc_triples')}),
+ed AS (SELECT * FROM {_staged_sql('kg_cc_edges')}),
+sym AS (SELECT src AS a, dst AS b FROM ed
+        UNION SELECT dst, src FROM ed),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+comp AS (
+  SELECT node,
+         CASE WHEN MIN(r) < node THEN MIN(r) ELSE node END AS cid
+  FROM reach GROUP BY node)
+SELECT COALESCE(c.cid, t.subj || '#' || CAST(t.span_idx AS VARCHAR)) AS subj,
+       t.pred, t.obj, t.score, t.span_idx
+FROM t LEFT JOIN comp c
+  ON c.node = t.subj || '#' || CAST(t.span_idx AS VARCHAR)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1294,8 +1562,16 @@ ORACLES: dict[str, str] = {
     "events_json_extract": JSON_SQL,
     "cube_orders_status_priority": CUBE_SQL,
     "range_join_ship_lag": RANGE_JOIN_SQL,
-    # rows-only (engine-specific hashes / binary fixtures / encoder UDF):
-    # minhash_dedup_pairs, simhash_dedup_pairs, media_*, kg_* — the kg_*
-    # real gate is tests/ vs the NumPy exact oracle, dedup gates are
-    # tests/test_dedup.py vs exact Python oracles.
+    "minhash_dedup_pairs": _minhash_sql(),
+    "simhash_dedup_pairs": _simhash_sql(),
+    "kg_triples_exact": KG_EXACT_SQL,
+    "kg_skips_quarantine": KG_SKIPS_SQL,
+    "kg_triples_ann": KG_ANN_SQL,
+    "kg_canonical_triples": KG_CANONICAL_SQL,
+    # rows-only: media_* (binary fixtures, no SQL twin),
+    # curate_training_corpus (multi-stage counts; gated by
+    # tests/test_curate.py vs exact Python oracles), kg_span_roundtrip
+    # (itself an invariant query).  The staged-parquet oracles above are
+    # written by the Spark query, then DuckDB re-derives the result from
+    # the same bytes.
 }

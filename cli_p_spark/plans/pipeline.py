@@ -253,6 +253,7 @@ def build_kg(
     return {
         "triples": triples,
         "skips": skips,
+        "edges": edges,
         "canonical": canonical,
         "canonical_triples": canonical_triples,
         "mentions": mentions,
