@@ -33,6 +33,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpointer(df: DataFrame, mode: str):
+    """Lineage break per CC round.  mode='reliable' uses the cluster
+    checkpoint dir (survives executor loss — localCheckpointed lineage
+    dies with its executors, which on a real cluster kills a multi-hour
+    CC); 'local' uses localCheckpoint (fastest, single-machine);
+    'auto' picks reliable iff a checkpoint dir is configured."""
+    if mode == "auto":
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+        mode = "reliable" if has_dir else "local"
+    if mode == "reliable":
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def _min_neighbor(edges: DataFrame, salt_buckets: int) -> DataFrame:
     """min(dst) per src; two-phase with salt when salt_buckets > 1."""
     if salt_buckets <= 1:
@@ -81,23 +95,27 @@ def connected_components(
     salt_buckets: int = 8,
     src: str = "src",
     dst: str = "dst",
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
 
     ``edges`` is undirected (each pair once or twice, either orientation).
     Deterministic: component ids are min string/numeric ids, independent
-    of partitioning.
+    of partitioning.  ``checkpoint``: 'auto' (reliable iff
+    sc.setCheckpointDir was called — the cluster deployment), 'reliable',
+    or 'local'.
     """
-    e = (
+    e = _checkpointer(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
     for _ in range(max_iter):
-        e2 = _small_star(
-            _large_star(e, salt_buckets), salt_buckets
-        ).localCheckpoint()
+        e2 = _checkpointer(
+            _small_star(_large_star(e, salt_buckets), salt_buckets),
+            checkpoint,
+        )
         # fixed point: edge sets equal (both are distinct() already)
         changed = (
             e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()

@@ -35,18 +35,31 @@ def curate(
 
     stage_counts: input -> quality_pass -> lang_pass -> exact_unique ->
     neardup_unique, each the surviving row count after that stage.
-    """
-    counts: dict[str, int] = {"input": docs.count()}
 
+    Count discipline (the 100 TB rule): the input is scanned ONCE — the
+    annotated frame is cached and the three filter-stage counts fold into
+    a single aggregation over it (conditional count_if), so the quality
+    UDF runs once per row, not once per stage-count action.  The exact-
+    dedup survivor set is cached too (it feeds the count, the MinHash
+    pass, the canonical-mapping join, and the final semi-join)."""
     annotated = docs.withColumn("_q", quality_score(text_col)).withColumn(
         "_lang", lang_id(text_col)
+    ).persist()
+    qpass = F.col("_q") >= min_quality
+    lpass = qpass & (
+        F.col("_lang").isin(list(keep_langs)) if keep_langs else F.lit(True)
     )
-    q = annotated.filter(F.col("_q") >= min_quality)
-    counts["quality_pass"] = q.count()
-
-    if keep_langs:
-        q = q.filter(F.col("_lang").isin(list(keep_langs)))
-    counts["lang_pass"] = q.count()
+    head = annotated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(qpass).alias("nq"),
+        F.count_if(lpass).alias("nl"),
+    ).first()
+    counts: dict[str, int] = {
+        "input": head["n"],
+        "quality_pass": head["nq"],
+        "lang_pass": head["nl"],
+    }
+    q = annotated.filter(lpass)
 
     # exact dedup: keep the min id per normalized-content fingerprint
     fp = q.withColumn("_fp", content_fingerprint(text_col))
@@ -58,10 +71,11 @@ def curate(
         (F.col("_fp") == F.col("_kfp")) & (F.col(id_col) == F.col("_keep")),
         "left_semi",
     )
-    counts["exact_unique"] = exact.count()
+    ided = exact.withColumn("_sid", F.col(id_col).cast("string")).persist()
+    counts["exact_unique"] = ided.count()
+    annotated.unpersist()
 
     # near-dup dedup: MinHash-LSH pairs -> CC -> keep min-id per cluster
-    ided = exact.withColumn("_sid", F.col(id_col).cast("string"))
     pairs = minhash_lsh_pairs(
         ided, text_col, "_sid", jaccard_threshold=jaccard_threshold
     )
@@ -76,4 +90,6 @@ def curate(
         keep, ided["_sid"] == F.col("_keep"), "left_semi"
     ).drop("_sid", "_fp")
     counts["neardup_unique"] = curated.count()
+    # ided stays cached: the returned frame reads through it; callers
+    # that persist/write `curated` may unpersist afterwards
     return curated, counts

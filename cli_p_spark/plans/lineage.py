@@ -19,8 +19,12 @@ Resume protocol (the expensive stage is encode — that is what must not
 recompute): a partition of the embedding stage is DONE iff a lineage row
 (stage='embed', part_id, status='done') exists.  A resumed run anti-joins
 the input against done partitions (exactly the reference's fn_db check,
-build-index.py:42-44, lifted from per-file to per-partition) and appends
-only the missing partition directories.  Downstream stages are cheap
+build-index.py:42-44, lifted from per-file to per-partition) and
+dynamic-partition-OVERWRITES the missing partition directories: data
+commits before lineage, so a kill between the two leaves partitions
+unmarked — the resume re-runs them and the overwrite replaces (never
+duplicates) their rows.  Idempotent per-partition commit, no
+write-ordering race (gated by test_resume's after_data kill).  Downstream stages are cheap
 relative to encode and rebuild from the union of all mention partitions.
 
 part_id = pmod(xxhash64(doc_id), n_parts): deterministic, independent of
@@ -79,12 +83,19 @@ def run_pipeline(
     nlist: int = 100,
     nprobe: int = 32,
     fail_after_parts: int | None = None,
+    fail_mode: str = "after_lineage",
     link_strategy: str = "broadcast",
 ) -> dict[str, str]:
     """Execute (or resume) the KG pipeline into ``out_dir``.
 
-    ``fail_after_parts`` simulates a mid-run kill for the resume test:
+    ``fail_after_parts`` simulates a mid-run kill for the resume tests:
     only that many embed partitions are processed before returning.
+    ``fail_mode='after_data'`` kills INSIDE the crash window — after the
+    partition data commits but before its lineage rows do.  Resume stays
+    correct either way because partition writes are dynamic-partition
+    OVERWRITES: a partition whose lineage row is missing is simply
+    re-run, and the re-run replaces its directory instead of appending
+    duplicates (idempotent per-partition commit).
     """
     import numpy as np
 
@@ -127,7 +138,7 @@ def run_pipeline(
         batch = spans.filter(F.col("part_id").isin(todo))
         encoded = encode_mentions(batch, cfg)
         ok, skips = split_skips(encoded)
-        store.append(
+        store.overwrite_partitions(
             ok.select("doc_id", "span_idx", "kind", "embedding", "part_id"),
             "mentions", partition_by=("part_id",),
         )
@@ -135,7 +146,13 @@ def run_pipeline(
             spans.select("doc_id", "span_idx", "part_id"),
             ["doc_id", "span_idx"],
         )
-        store.append(skips_with_part, "skips")
+        store.overwrite_partitions(
+            skips_with_part, "skips", partition_by=("part_id",)
+        )
+        if fail_after_parts is not None and fail_mode == "after_data":
+            # simulated kill inside the crash window: data committed,
+            # lineage not — these partitions must re-run idempotently
+            return {"out_dir": out_dir, "status": "killed"}
         wall = time.time() - t0
         # per-partition metrics from the written data (exact counts)
         counts = {

@@ -38,6 +38,16 @@ class TableStore:
     # -- writes -----------------------------------------------------------
     def append(self, df: DataFrame, table: str,
                partition_by: tuple[str, ...] = ()) -> None:
+        """Write-audit-publish append: the batch lands in a PRIVATE
+        staging directory, then its files move into the table by atomic
+        filesystem rename.  Plain ``mode('append')`` shares one
+        ``_temporary/0`` committer dir per path, so two concurrent
+        appends clobber each other's staged task files (the Spark twin
+        of the reference's concurrent build/query corruption,
+        README.md:46-51).  Private staging makes concurrent appends
+        safe; each FILE publishes atomically (single-file batches =
+        atomic commits; multi-file snapshot atomicity is the Iceberg
+        catalog flip)."""
         if self.catalog:
             w = df.writeTo(self._ident(table))
             if partition_by:
@@ -46,10 +56,35 @@ class TableStore:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace() if not self.exists(table) else w.append()
             return
-        w = df.write.mode("append")
+        import uuid
+
+        staging = f"{self.base}/.staging/{table}-{uuid.uuid4().hex}"
+        w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self._path(table))
+        w.parquet(staging)
+        self._publish(staging, self._path(table))
+
+    def _publish(self, staging: str, target: str) -> None:
+        """Move every data file from staging into target (atomic per-file
+        Hadoop FS renames; works on file:// and HDFS — Spark's own part-
+        file names are already globally unique, so no collisions)."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(staging).getFileSystem(conf)
+        src_root = fs.makeQualified(HPath(staging)).toUri().getPath()
+        it = fs.listFiles(HPath(staging), True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(("_", ".")):
+                continue
+            rel = f.toUri().getPath()[len(src_root):].lstrip("/")
+            dest = HPath(f"{target}/{rel}")
+            fs.mkdirs(dest.getParent())
+            if not fs.rename(f, dest):
+                raise IOError(f"publish rename failed: {f} -> {dest}")
+        fs.delete(HPath(staging), True)
 
     def overwrite(self, df: DataFrame, table: str) -> None:
         if self.catalog:
@@ -57,14 +92,46 @@ class TableStore:
             return
         df.write.mode("overwrite").parquet(self._path(table))
 
+    def overwrite_partitions(self, df: DataFrame, table: str,
+                             partition_by: tuple[str, ...]) -> None:
+        """Dynamic-partition overwrite: replaces exactly the partition
+        directories present in ``df``, leaving others untouched.  This is
+        the IDEMPOTENT write resume needs — re-running a partition after
+        a crash replaces its directory instead of appending duplicates
+        (write-audit-publish semantics per partition; maps to Iceberg
+        overwritePartitions under a catalog)."""
+        if self.catalog:
+            df.writeTo(self._ident(table)).overwritePartitions()
+            return
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self._path(table))
+        )
+
     # -- reads ------------------------------------------------------------
+
+    # error conditions that mean "table absent", not "table broken":
+    # swallowing everything here would make a corrupt/transient lineage
+    # read indistinguishable from a fresh run and re-append duplicates.
+    _ABSENT_MARKERS = (
+        "PATH_NOT_FOUND",
+        "UNABLE_TO_INFER_SCHEMA",   # dir exists but holds no parquet yet
+        "TABLE_OR_VIEW_NOT_FOUND",
+    )
+
     def read(self, table: str) -> DataFrame | None:
+        from pyspark.errors import AnalysisException
+
         try:
             if self.catalog:
                 return self.spark.read.table(self._ident(table))
             return self.spark.read.parquet(self._path(table))
-        except Exception:
-            return None
+        except AnalysisException as e:
+            if any(m in str(e) for m in self._ABSENT_MARKERS):
+                return None
+            raise
 
     def exists(self, table: str) -> bool:
         return self.read(table) is not None

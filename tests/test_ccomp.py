@@ -90,3 +90,33 @@ def test_canonical_mapping_covers_singletons(spark):
     oracle = union_find_oracle(edges, nodes)
     for n in nodes:
         assert mapping[n] == oracle[n]
+
+
+def test_cc_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint='reliable' (executor-loss-safe lineage break) returns
+    the same components as the local mode, and actually writes RDD
+    checkpoint files under the configured dir."""
+    import os
+
+    from cli_p_spark.operators.ccomp import connected_components
+
+    chk = str(tmp_path / "chk")
+    spark.sparkContext.setCheckpointDir(chk)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r")],
+        "src string, dst string",
+    )
+    rel = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint="reliable").collect()
+    }
+    loc = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, checkpoint="local").collect()
+    }
+    assert rel == loc
+    assert {c for _, c in rel} == {"a", "x", "p"}
+    found = []
+    for root, _dirs, files in os.walk(chk):
+        found.extend(files)
+    assert found, "reliable mode must materialize checkpoint files"

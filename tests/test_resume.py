@@ -91,3 +91,59 @@ def test_lineage_metrics_present(spark, corpus_small, tmp_path):
     assert lin.filter("stage='link' and n_rows > 0").count() == 1
     # the corrupt span was quarantined and counted in exactly one partition
     assert embed.agg(F.sum("n_skips")).first()[0] == 1
+
+
+def test_kill_inside_commit_window_no_duplicates(spark, corpus_small,
+                                                 tmp_path):
+    """The crash-atomicity gate: kill AFTER partition data commits but
+    BEFORE its lineage rows do (fail_mode='after_data').  The resume
+    re-runs those partitions; dynamic-partition overwrite must replace,
+    not duplicate, their mention rows — final result identical to a
+    fresh uninterrupted run."""
+    docs_pdf, ents_pdf = corpus_small
+    docs = documents_to_spark(spark, docs_pdf)
+    cfg = PipelineConfig()
+
+    full_dir = str(tmp_path / "full")
+    run_pipeline(spark, docs, ents_pdf, full_dir, cfg, run_id="full")
+
+    crash_dir = str(tmp_path / "crash")
+    r1 = run_pipeline(
+        spark, docs, ents_pdf, crash_dir, cfg,
+        run_id="run1", fail_after_parts=5, fail_mode="after_data",
+    )
+    assert r1["status"] == "killed"
+    # data landed, lineage did not: the exact corruption window
+    assert read_lineage(spark, crash_dir) is None
+    n_orphan = spark.read.parquet(f"{crash_dir}/mentions").count()
+    assert n_orphan > 0
+
+    r2 = run_pipeline(spark, docs, ents_pdf, crash_dir, cfg, run_id="run2")
+    assert r2["status"] == "done"
+    # every partition re-ran (none was marked done)...
+    lin = read_lineage(spark, crash_dir).filter("stage='embed'")
+    assert lin.filter("run_id='run2'").count() == 16
+    # ...and the overwritten partitions hold NO duplicate mentions
+    men = spark.read.parquet(f"{crash_dir}/mentions")
+    assert men.count() == men.select("doc_id", "span_idx").distinct().count()
+    assert men.count() == spark.read.parquet(f"{full_dir}/mentions").count()
+    assert _triples_set(spark, crash_dir) == _triples_set(spark, full_dir)
+
+
+def test_tablestore_read_raises_on_corrupt_not_absent(spark, tmp_path):
+    """TableStore.read returns None ONLY for table-absent; a corrupt
+    table raises instead of silently restarting the pipeline from
+    scratch (which would duplicate every partition)."""
+    import pytest
+
+    from cli_p_spark.plans.tables import TableStore
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    assert store.read("nope") is None  # absent -> None
+    # corrupt parquet footer -> must raise, not masquerade as absent
+    bad = tmp_path / "store" / "broken"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        df = store.read("broken")
+        df.collect()  # some engines defer footer reads to the scan

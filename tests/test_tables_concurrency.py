@@ -1,0 +1,71 @@
+"""Concurrent build/query over TableStore — the reference documents that
+a query hitting a mid-build LMDB/faiss index corrupts or crashes
+(/root/reference/README.md:46-51).  The Spark engine's parquet layout
+fixes this by construction at COMMIT granularity: writers stage files in
+_temporary and publish them with an atomic rename, appends never rewrite
+existing files, and readers plan against the published file listing — so
+a concurrent reader sees a consistent prefix of commits, never a torn
+file.  (The Iceberg catalog flip in plans/tables.py upgrades this to
+full snapshot isolation across multi-file commits; the runtime jar is
+not installable in this sandbox, so THIS test pins down the guarantee
+the parquet backend provides today.)"""
+
+import threading
+
+from cli_p_spark.plans.tables import TableStore
+
+BATCH = 100
+N_APPENDS = 6
+
+
+def test_concurrent_append_and_read_no_corruption(spark, tmp_path):
+    store = TableStore(spark, str(tmp_path / "db"))
+    errors: list[Exception] = []
+    seen: list[int] = []
+    done = threading.Event()
+
+    def writer(tag: str):
+        try:
+            for i in range(N_APPENDS):
+                df = spark.range(BATCH).selectExpr(
+                    f"'{tag}' AS w", "id", f"{i} AS batch"
+                ).coalesce(1)
+                store.append(df, "events")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def reader():
+        try:
+            while not done.is_set():
+                df = store.read("events")
+                if df is not None:
+                    seen.append(df.count())
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=("a",)),
+        threading.Thread(target=writer, args=("b",)),
+        threading.Thread(target=reader),
+    ]
+    for t in threads[:2]:
+        t.start()
+    threads[2].start()
+    threads[0].join()
+    threads[1].join()
+    done.set()
+    threads[2].join()
+
+    assert not errors, errors
+    # every observed count is a whole number of committed single-file
+    # batches (no torn reads), observed counts never decrease, and the
+    # final state holds every row from both writers
+    assert all(c % BATCH == 0 for c in seen), seen
+    assert seen == sorted(seen), seen
+    assert store.read("events").count() == 2 * N_APPENDS * BATCH
+    # content-level check: per-writer batch ids are all present exactly once
+    got = {
+        (r["w"], r["batch"], r["id"])
+        for r in store.read("events").collect()
+    }
+    assert len(got) == 2 * N_APPENDS * BATCH
