@@ -36,6 +36,11 @@ Scale notes (100 TB mentions, big entity side):
   the reference defaults -> P/R ~0.99 vs the exact oracle while scoring
   ~32% of the index; nprobe=nlist degenerates to exact search, mirroring
   query-index.py:30's exhaustive setting.
+- the broadcast search is CELL-PRUNED (round 2): per-probed-cell GEMM
+  slices with a running top-k merge — peak per-block intermediates are
+  [BLOCK, max_cell + k], never [BLOCK, E], so nprobe cuts compute by
+  ~nprobe/nlist and a 10^7-entity index costs MBs per task, not 40 GB
+  (gated by tests/test_ivf_pruning.py on a 10^6-entity synthetic index).
 """
 
 from __future__ import annotations

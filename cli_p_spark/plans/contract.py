@@ -42,8 +42,11 @@ def _dec(c: str):
     return F.col(c).cast("decimal(18,2)")
 
 
-# (1 - l_discount) as an exact decimal: 1.00 - d, scale 2
-_ONE = F.lit(1).cast("decimal(3,2)")
+# (1 - l_discount) as an exact decimal: 1.00 - d, scale 2.
+# A function, not a module constant: building a Column requires an
+# active SparkContext, and this module must import session-free.
+def _one():
+    return F.lit(1).cast("decimal(3,2)")
 
 
 def _dsql(c: str) -> str:
@@ -68,7 +71,7 @@ def q1_pricing_summary(spark, sf_dir):
             F.round(F.sum(_dec("l_extendedprice")), 3).cast("double")
             .alias("sum_base_price"),
             F.round(
-                F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))),
+                F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))),
                 3,
             ).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -130,7 +133,7 @@ def q3_top_unshipped_revenue(spark, sf_dir):
         .groupBy("o_orderkey")
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))),
+                F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))),
                 3,
             ).cast("double").alias("revenue")
         )
@@ -232,7 +235,7 @@ def q5_region_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(_dec("l_extendedprice") * (_ONE - _dec("l_discount"))),
+                F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))),
                 3,
             ).cast("double").alias("revenue")
         )
@@ -1092,6 +1095,57 @@ def knn_ivf_exhaustive(spark, sf_dir):
     )
 
 
+def knn_pq_rescore(spark, sf_dir):
+    """PQ preselect + exact rescore, driven exhaustive (kc = E): the
+    candidate join + rescore machinery must reproduce the exact top-5 by
+    raw inner product — same result family as knn_*, different physical
+    strategy (codes broadcast, full vectors never leave the entity
+    table).  Approximate-kc quality is P/R-gated in tests/test_pq.py."""
+    from ..operators.pq import link_pq, train_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    cand_pdf = e.filter(F.col("vec_id") >= 8).select(
+        F.lpad(F.col("vec_id").cast("string"), 8, "0").alias("entity_id"),
+        "embedding",
+    ).toPandas()
+    import numpy as np
+
+    emat = np.stack(cand_pdf["embedding"].to_numpy())
+    books = train_pq(emat, m_subspaces=8)
+    probes = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    entities = spark.createDataFrame(
+        cand_pdf, "entity_id string, embedding array<float>"
+    )
+    links = link_pq(
+        probes, entities, cand_pdf, books,
+        k=5, tau=-1e9, kc=len(cand_pdf),
+        mention_keys=("probe_id",), carry_cols=(),
+    )
+    return links.select(
+        "probe_id",
+        F.col("entity_id").cast("long").alias("vec_id"),
+        F.round("score", 4).alias("dot"),
+    )
+
+
+KNN_DOT_SQL = """
+SELECT probe_id, vec_id, ROUND(dot, 4) AS dot FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])) AS dot,
+         ROW_NUMBER() OVER (
+            PARTITION BY p.vec_id
+            ORDER BY list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) DESC,
+                     c.vec_id ASC) AS rn
+  FROM (SELECT * FROM embeddings WHERE vec_id < 8) p,
+       (SELECT * FROM embeddings WHERE vec_id >= 8) c)
+WHERE rn <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # json / grouping sets / range join
 # ---------------------------------------------------------------------------
@@ -1508,6 +1562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "embedding_neardup_cosine": embedding_neardup_cosine,
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
+    "knn_pq_rescore": knn_pq_rescore,
     "events_json_extract": events_json_extract,
     "cube_orders_status_priority": cube_orders_status_priority,
     "range_join_ship_lag": range_join_ship_lag,
@@ -1559,6 +1614,7 @@ ORACLES: dict[str, str] = {
     "doc_ngram_jaccard_pairs": NGRAM_SQL,
     "embedding_neardup_cosine": NEARDUP_SQL,
     "knn_ivf_exhaustive": KNN_SQL,
+    "knn_pq_rescore": KNN_DOT_SQL,
     "events_json_extract": JSON_SQL,
     "cube_orders_status_priority": CUBE_SQL,
     "range_join_ship_lag": RANGE_JOIN_SQL,
