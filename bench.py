@@ -54,6 +54,8 @@ HEADLINE = [
     "window_topk_orders_per_cust",
     "knn_bruteforce_cosine",
     "doc_exact_dedup",
+    "minhash_dedup_pairs",
+    "simhash_dedup_pairs",
     "events_lag_gap",
 ]
 

@@ -144,7 +144,13 @@ def lsh_pairs_from_signatures(
     """Banded-LSH pair generation over a precomputed signature table
     (_id, _sig array<long>) — split out so signatures can be persisted
     once and banded many times (and so the DuckDB oracle can check the
-    banding+verify logic over the exact same staged signatures)."""
+    banding+verify logic over the exact same staged signatures).
+
+    Scale shape: the band shuffle and the bucket self-join carry IDS
+    ONLY — signatures (n_hashes x 8 B) are re-attached to the surviving
+    candidate pairs by two narrow joins afterwards.  Carrying _sig
+    through the banded explode would multiply the shuffle volume by
+    bands x sig-width (petabytes at 10^12 docs)."""
     r = n_hashes // bands
 
     band_cols = [
@@ -154,30 +160,27 @@ def lsh_pairs_from_signatures(
         for b in range(bands)
     ]
     banded = sig.select(
-        "_id", "_sig",
+        "_id",
         F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"),
     )
     # bucket-size guard: degenerate buckets (boilerplate) are dropped and
     # should be routed to exact_dedup instead of quadratic verification
-    sized = banded.withColumn(
-        "_bn",
-        F.count(F.lit(1)).over(Window.partitionBy("_band", "_bucket")),
-    ).filter(F.col("_bn") <= max_bucket)
+    if max_bucket < (1 << 30):
+        banded = banded.withColumn(
+            "_bn",
+            F.count(F.lit(1)).over(Window.partitionBy("_band", "_bucket")),
+        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
 
-    a = sized.select(
-        F.col("_id").alias("src"), F.col("_sig").alias("_sig_a"),
-        "_band", "_bucket",
-    )
-    b = sized.select(
-        F.col("_id").alias("dst"), F.col("_sig").alias("_sig_b"),
-        "_band", "_bucket",
-    )
+    a = banded.select(F.col("_id").alias("src"), "_band", "_bucket")
+    b = banded.select(F.col("_id").alias("dst"), "_band", "_bucket")
     cand = (
         a.join(b, ["_band", "_bucket"])
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "_sig_a", "_sig_b")
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
+    sig_a = sig.select(F.col("_id").alias("src"), F.col("_sig").alias("_sig_a"))
+    sig_b = sig.select(F.col("_id").alias("dst"), F.col("_sig").alias("_sig_b"))
     agree = F.aggregate(
         F.zip_with("_sig_a", "_sig_b",
                    lambda x, y: (x == y).cast("int")),
@@ -185,7 +188,8 @@ def lsh_pairs_from_signatures(
         lambda acc, v: acc + v,
     )
     return (
-        cand.withColumn("jaccard", agree / F.lit(n_hashes))
+        cand.join(sig_a, "src").join(sig_b, "dst")
+        .withColumn("jaccard", agree / F.lit(n_hashes))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("src", "dst", "jaccard")
     )
@@ -369,11 +373,15 @@ def _unit_vectors(df: DataFrame, embedding_col: str, id_col: str,
         F.col(id_col).cast("string").alias(out_id),
         F.col(embedding_col).alias(out_emb),
     )
+    # products in f64 (cast BEFORE multiply): keeps the whole norm
+    # computation bit-reproducible in SQL engines whose float ops are f32
     nrm = F.sqrt(
         F.aggregate(
-            F.transform(out_emb, lambda x: x * x),
+            F.transform(
+                out_emb, lambda x: x.cast("double") * x.cast("double")
+            ),
             F.lit(0.0),
-            lambda a, x: a + x.cast("double"),
+            lambda a, x: a + x,
         )
     )
     return nodes.select(

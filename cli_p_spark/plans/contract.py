@@ -565,16 +565,27 @@ def knn_bruteforce_cosine(spark, sf_dir):
     )
 
 
+# Explicit f64 cosine (dot / (sqrt * sqrt) over DOUBLE[] casts): DuckDB's
+# list_cosine_similarity on FLOAT[] computes in float32, which disagrees
+# with Spark's f64 fold in the last ulps and can flip ROUND(x, 4) on a
+# .00005 boundary.  The expression below mirrors the Spark expression
+# tree op-for-op, so the doubles are bit-identical.
 KNN_SQL = """
 SELECT probe_id, vec_id, ROUND(cos, 4) AS cos_sim FROM (
-  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
-         list_cosine_similarity(p.embedding, c.embedding) AS cos,
-         ROW_NUMBER() OVER (
-            PARTITION BY p.vec_id
-            ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC,
-                     c.vec_id ASC) AS rn
-  FROM (SELECT * FROM embeddings WHERE vec_id < 8) p,
-       (SELECT * FROM embeddings WHERE vec_id >= 8) c)
+  SELECT probe_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, vec_id ASC) AS rn
+  FROM (
+    SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+           list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                            CAST(c.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                    CAST(p.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))))
+             AS cos
+    FROM (SELECT * FROM embeddings WHERE vec_id < 8) p,
+         (SELECT * FROM embeddings WHERE vec_id >= 8) c))
 WHERE rn <= 5
 """
 
@@ -591,7 +602,9 @@ def embedding_norm_stats(spark, sf_dir):
 
 NORM_SQL = """
 SELECT label,
-       ROUND(AVG(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm,
+       ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 4)
+         AS avg_norm,
        COUNT(*) AS n_vecs,
        ROUND(AVG(len(embedding)), 2) AS avg_dim
 FROM embeddings GROUP BY label
@@ -1039,12 +1052,30 @@ def embedding_neardup_cosine(spark, sf_dir):
     )
 
 
+# Replays the Spark pipeline op-for-op in f64: unit-normalize each vector
+# (f64 norm, zero-norm guard, components rounded back to REAL exactly as
+# the engine stores them), then f64 dot of the unit vectors — so the
+# ROUND(cos, 4) values are bit-identical, not merely close.
 NEARDUP_SQL = """
-SELECT CAST(a.vec_id AS VARCHAR) AS src, CAST(b.vec_id AS VARCHAR) AS dst,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON CAST(a.vec_id AS VARCHAR) < CAST(b.vec_id AS VARCHAR)
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+WITH n AS (
+  SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings),
+u AS (
+  SELECT id,
+         list_transform(
+           embedding,
+           x -> CAST(CAST(x AS DOUBLE)
+                     / (CASE WHEN nn < 1e-9 THEN 1.0 ELSE nn END)
+                     AS REAL)) AS e
+  FROM n)
+SELECT src, dst, ROUND(cos, 4) AS cosine FROM (
+  SELECT a.id AS src, b.id AS dst,
+         list_dot_product(CAST(a.e AS DOUBLE[]),
+                          CAST(b.e AS DOUBLE[])) AS cos
+  FROM u a JOIN u b ON a.id < b.id)
+WHERE cos >= 0.4
 """
 
 

@@ -102,6 +102,20 @@ def windowed_event_counts(
     )
 
 
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    small static dimension, broadcast (the standard event-pipeline
+    enrichment shape).  Stateless — no watermark needed; the static side
+    is re-planned per micro-batch, so a refreshed dimension table is
+    picked up without restarting the query."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
 def stream_dedup(
     docs_stream: DataFrame,
     ts_col: str = "ingest_ts",

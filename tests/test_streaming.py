@@ -143,3 +143,31 @@ def test_stream_dedup_drops_repeats(spark, corpus_small, tmp_path):
     hashes = [r["content_hash"] for r in out]
     assert len(hashes) == len(set(hashes))  # no duplicate content emitted
     assert len(set(hashes)) == sub["spans"].astype(str).nunique()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: streamed enrichment equals the batch
+    join over the same files."""
+    from cli_p_spark.streaming.ingest import enrich_stream
+
+    rows = [(i, f"u{i % 5}", float(i)) for i in range(100)]
+    schema = "event_id long, user_id string, value double"
+    df = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "ev")
+    df.coalesce(2).write.parquet(in_dir)
+    dim = spark.createDataFrame(
+        [(f"u{j}", f"tier{j % 2}") for j in range(5)],
+        "user_id string, tier string",
+    )
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .writeStream.format("memory").queryName("enriched")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT event_id, user_id, tier FROM enriched").collect()))
+    want = sorted(map(tuple, df.join(
+        dim, "user_id").select("event_id", "user_id", "tier").collect()))
+    assert got == want

@@ -20,20 +20,27 @@ TABLES = [
 ]
 
 
-def canon_cell(v):
+def canon_cell(v, strict=True):
+    """strict=True compares floats by full repr — STRICTER than the
+    driver's value hash, so any cross-engine ulp drift fails HERE first.
+    Pass strict=False (env CHECK_LOOSE=1) for the 6-sig-digit fallback
+    when triaging."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v) if strict else f"{v:.6g}"
     return str(v)
 
 
 def canon(rows, cols):
+    import os
+
+    strict = os.environ.get("CHECK_LOOSE", "0") != "1"
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(canon_cell(r[i]) for i in order) for r in rows
+        tuple(canon_cell(r[i], strict) for i in order) for r in rows
     )
 
 
