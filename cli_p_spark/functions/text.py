@@ -36,6 +36,27 @@ def token_count(col: str | Column) -> Column:
     return F.size(F.split(c, " "))
 
 
+# GPT-2-style pretokenizer pattern, lookahead-free so it runs identically
+# under Java regex (Spark) and RE2 (DuckDB oracle): contractions, space-
+# prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[a-zA-Z]+"
+    r"| ?[0-9]+"
+    r"| ?[^a-zA-Z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """BPE-ish token count: number of pretokenizer segments — the unit a
+    real BPE tokenizer would then merge within.  Pure Catalyst
+    (regexp_count, whole-stage codegen); counts whitespace runs too,
+    mirroring byte-level BPE's explicit-space tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_RE))
+
+
 def _marker_hits(c: Column, words: list[str]) -> Column:
     padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
     out = F.lit(0)

@@ -31,7 +31,7 @@ explosions should be capped with a bucket-size guard (max_bucket)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import SEED
@@ -163,13 +163,23 @@ def lsh_pairs_from_signatures(
         "_id",
         F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"),
     )
-    # bucket-size guard: degenerate buckets (boilerplate) are dropped and
-    # should be routed to exact_dedup instead of quadratic verification
+    # bucket-size guard: degenerate buckets (boilerplate) cap quadratic
+    # pairing at max_bucket; above it, a linear bucket-min STAR keeps the
+    # bucket connected for downstream CC (groupBy sizes, not a window —
+    # a window partition over a degenerate bucket IS the skew hazard)
+    star = None
     if max_bucket < (1 << 30):
-        banded = banded.withColumn(
-            "_bn",
-            F.count(F.lit(1)).over(Window.partitionBy("_band", "_bucket")),
-        ).filter(F.col("_bn") <= max_bucket).drop("_bn")
+        keys = ["_band", "_bucket"]
+        sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+        tagged = banded.join(sizes, keys)
+        big = tagged.filter(F.col("_bn") > max_bucket)
+        mins = big.groupBy(*keys).agg(F.min("_id").alias("_min"))
+        star = (
+            big.join(mins, keys)
+            .filter(F.col("_id") != F.col("_min"))
+            .select(F.col("_min").alias("src"), F.col("_id").alias("dst"))
+        )
+        banded = tagged.filter(F.col("_bn") <= max_bucket).drop("_bn")
 
     a = banded.select(F.col("_id").alias("src"), "_band", "_bucket")
     b = banded.select(F.col("_id").alias("dst"), "_band", "_bucket")
@@ -177,8 +187,10 @@ def lsh_pairs_from_signatures(
         a.join(b, ["_band", "_bucket"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["src", "dst"])
     sig_a = sig.select(F.col("_id").alias("src"), F.col("_sig").alias("_sig_a"))
     sig_b = sig.select(F.col("_id").alias("dst"), F.col("_sig").alias("_sig_b"))
     agree = F.aggregate(

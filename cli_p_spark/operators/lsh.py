@@ -31,7 +31,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -50,14 +50,22 @@ def hyperplane_lsh_pairs(
     seed: int = SEED,
     max_bucket: int = 2000,
     group_col: str | None = None,
+    oversize: str = "star",
 ) -> DataFrame:
     """(src, dst, cosine) pairs with cosine >= tau, src < dst.
 
     ``max_bucket`` guards degenerate buckets (mass-duplicate content):
-    larger buckets are dropped from pairing — route such content through
-    exact dedup first (identical embeddings land in identical buckets in
-    EVERY band, so a representative-per-exact-dup pre-pass is the scale
-    hygiene anyway).
+    quadratic pairing is capped there.  ``oversize`` picks what happens
+    above the cap:
+    - 'star' (default): each oversized bucket emits only (bucket-min,
+      member) candidates — LINEAR in bucket size, and exactly enough
+      connectivity for the downstream connected components to collapse
+      the bucket into one cluster (degenerate buckets are mass near-
+      duplicates, so the star edges pass the cosine verify).  This is
+      the SCALE.md "sample-representative for degenerate components"
+      device: a 10^9-copy boilerplate page costs 10^9 edges, not 10^18.
+    - 'drop': oversized buckets generate nothing (route such content
+      through exact dedup first).
 
     ``group_col``: restrict pairing to rows sharing this column (the
     SCALE.md stage-3 sharding — e.g. canonicalize per linked entity
@@ -89,9 +97,12 @@ def hyperplane_lsh_pairs(
         "_id", *gcols, F.posexplode("_keys").alias("_band", "_key")
     )
     join_keys = gcols + ["_band", "_key"]
-    sized = sig.withColumn(
-        "_bn", F.count(F.lit(1)).over(Window.partitionBy(*join_keys))
-    ).filter(F.col("_bn") <= max_bucket)
+    # bucket sizes via groupBy+join, NOT a window: a window partition over
+    # a degenerate bucket materializes the whole bucket in one task —
+    # the exact skew this guard exists to defuse; groupBy partial-aggs
+    sizes = sig.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_bn"))
+    tagged = sig.join(sizes, join_keys)
+    sized = tagged.filter(F.col("_bn") <= max_bucket)
 
     a = sized.select(F.col("_id").alias("src"), *join_keys)
     b = sized.select(F.col("_id").alias("dst"), *join_keys)
@@ -99,8 +110,19 @@ def hyperplane_lsh_pairs(
         a.join(b, join_keys)
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
     )
+    if oversize == "star":
+        big = tagged.filter(F.col("_bn") > max_bucket)
+        mins = big.groupBy(*join_keys).agg(F.min("_id").alias("_min"))
+        star = (
+            big.join(mins, join_keys)
+            .filter(F.col("_id") != F.col("_min"))
+            .select(
+                F.col("_min").alias("src"), F.col("_id").alias("dst")
+            )
+        )
+        cand = cand.unionByName(star)
+    cand = cand.dropDuplicates(["src", "dst"])
     ea = nodes.select(F.col("_id").alias("src"), F.col("_emb").alias("_ea"))
     eb = nodes.select(F.col("_id").alias("dst"), F.col("_emb").alias("_eb"))
     return (

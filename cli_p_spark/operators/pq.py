@@ -92,6 +92,47 @@ def train_pq(
     return books
 
 
+def pq_decode(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Reconstruct [n, d] from codes (the PQ centroids concatenated)."""
+    M, n_codes, dsub = books.shape
+    return np.concatenate(
+        [books[m][codes[:, m].astype(np.int64)] for m in range(M)], axis=1
+    )
+
+
+def train_opq(
+    X: np.ndarray, m_subspaces: int = 8, n_codes: int = 256,
+    iters: int = 6, pq_iters: int = 6, seed: int = SEED,
+    max_train: int = 50_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ (Ge et al., CVPR'13 — faiss OPQMatrix): learn an orthogonal
+    rotation R so PQ quantizes R·x with lower error than x (subspaces get
+    decorrelated, variance balances across blocks).  Alternating
+    minimization: train PQ on X@R, reconstruct, solve the orthogonal
+    Procrustes problem (SVD of X^T X̂) for the next R.  Deterministic
+    (seeded sample + seeded PQ).  Returns (R [d, d], books).
+
+    Inner products are preserved exactly under the rotation
+    ((q@R)·(x@R) = q·x), so OPQ changes ONLY preselect recall — the
+    downstream exact rescore is untouched."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed ^ 0xB0)
+    if len(X) > max_train:
+        X = X[rng.choice(len(X), max_train, replace=False)]
+    d = X.shape[1]
+    R = np.eye(d)
+    for _ in range(iters):
+        XR = X @ R
+        books = train_pq(XR, m_subspaces, n_codes, iters=pq_iters,
+                         seed=seed, max_train=max_train)
+        Xhat = pq_decode(pq_encode(XR, books), books)
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = U @ Vt
+    books = train_pq(X @ R, m_subspaces, n_codes, iters=pq_iters,
+                     seed=seed, max_train=max_train)
+    return R, books
+
+
 def pq_encode(X: np.ndarray, books: np.ndarray,
               block: int = 65_536) -> np.ndarray:
     """codes [n, M] uint8: nearest subspace centroid per block.
@@ -149,13 +190,14 @@ class _PqIndex:
     BLOCK = 1024          # query rows per kernel block
     CODE_BLOCK = 65_536   # flat-scan code rows per block
 
-    def __init__(self, eids, gcodes, perm, cell_ptr, CT, books):
+    def __init__(self, eids, gcodes, perm, cell_ptr, CT, books, R=None):
         self.eids = eids
         self.gcodes = gcodes
         self.perm = perm
         self.cell_ptr = cell_ptr
         self.CT = CT
         self.books = books
+        self.R = R  # optional OPQ rotation; codes were built on emat @ R
         self.stats = {"max_score_cols": 0}
 
     _cached: "_PqIndex | None" = None
@@ -188,13 +230,18 @@ class _PqIndex:
         if n == 0 or E == 0:
             return np.zeros((n, 0), dtype=np.int64)
         kc = min(kc, E)
-        lut = _query_luts(Q.astype(np.float64, copy=False), self.books)
+        Q64 = Q.astype(np.float64, copy=False)
+        # OPQ: rotate queries into the codebook space (inner products are
+        # rotation-invariant, so LUT scores approximate the RAW dot)
+        lut = _query_luts(Q64 @ self.R if self.R is not None else Q64,
+                          self.books)
         best_sc = np.full((n, kc), -np.inf, dtype=np.float32)
         best_ix = np.zeros((n, kc), dtype=np.int64)
         n_cells = 0 if self.cell_ptr is None else len(self.cell_ptr) - 1
         if n_cells and 0 < nprobe < n_cells:
-            # IVF-PQ: gather only probed cells' codes
-            cs = Q.astype(np.float64, copy=False) @ self.CT
+            # IVF-PQ: gather only probed cells' codes (cell probing is in
+            # the RAW space — centroids are trained on unrotated vectors)
+            cs = Q64 @ self.CT
             probe = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]
             flat_rows = np.repeat(np.arange(n), nprobe)
             flat_cells = probe.ravel()
@@ -229,14 +276,18 @@ def build_pq_broadcast_value(
     entities_pdf: pd.DataFrame,
     books: np.ndarray,
     centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ):
     """Broadcast payload for _PqIndex.  With ``centroids``, codes are
-    grouped by IVF cell (IndexIVFPQ); without, identity layout."""
+    grouped by IVF cell (IndexIVFPQ); without, identity layout.  With
+    ``rotation`` (train_opq), codes quantize the rotated vectors
+    (IndexPreTransform+OPQMatrix shape) — 1 MB extra broadcast."""
     eids, emat = _entity_arrays(entities_pdf)
-    codes = pq_encode(emat, books)
+    enc = emat @ rotation if rotation is not None else emat
+    codes = pq_encode(enc, books)
     if centroids is None:
         perm = np.arange(len(eids), dtype=np.int64)
-        return (eids, codes, perm, None, None, books)
+        return (eids, codes, perm, None, None, books, rotation)
     n_cells = len(centroids)
     assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
     perm = np.argsort(assign, kind="stable").astype(np.int64)
@@ -250,6 +301,7 @@ def build_pq_broadcast_value(
         cell_ptr,
         np.ascontiguousarray(centroids.T),
         books,
+        rotation,
     )
 
 
@@ -262,6 +314,7 @@ def link_pq(
     tau: float = 0.0,
     kc: int = 32,
     centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
     nprobe: int = 32,
     mention_keys: tuple[str, ...] = ("doc_id", "span_idx"),
     carry_cols: tuple[str, ...] = ("kind",),
@@ -276,7 +329,7 @@ def link_pq(
     """
     spark = mentions.sparkSession
     bc = spark.sparkContext.broadcast(
-        build_pq_broadcast_value(entities_pdf, books, centroids)
+        build_pq_broadcast_value(entities_pdf, books, centroids, rotation)
     )
 
     keys = list(mention_keys)

@@ -510,6 +510,33 @@ FROM documents GROUP BY lang
 """
 
 
+def doc_bpe_token_stats(spark, sf_dir):
+    """BPE-ish pretokenizer counts vs whitespace counts per language —
+    the token-accounting pass a training-data pipeline budgets with."""
+    from ..functions.text import bpe_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.avg(bpe_token_count("text")), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(token_count("text")), 4).alias("avg_ws_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _bpe_sql() -> str:
+    from ..functions.text import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return f"""
+SELECT lang,
+       ROUND(AVG(len(regexp_extract_all(text, '{pat}'))), 4)
+         AS avg_bpe_tokens,
+       ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_ws_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
 def doc_quality_score(spark, sf_dir):
     """Text-quality heuristic: alpha ratio + mean word length per source."""
     d = _t(spark, sf_dir, "documents")
@@ -1573,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lag_gap": events_lag_gap,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_stats": doc_token_stats,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_quality_score": doc_quality_score,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
@@ -1627,6 +1655,7 @@ ORACLES: dict[str, str] = {
     "events_lag_gap": EVENTS_LAG_SQL,
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
+    "doc_bpe_token_stats": _bpe_sql(),
     "doc_quality_score": QUALITY_SQL,
     "knn_bruteforce_cosine": KNN_SQL,
     "embedding_norm_stats": NORM_SQL,

@@ -95,3 +95,41 @@ def test_lsh_exact_duplicates_always_found(spark):
         (f"d{i}", f"d{j}") for i in range(5) for j in range(5) if i < j
     }
     assert got == expect  # identical sigs collide in every band
+
+
+def test_oversized_bucket_star_keeps_connectivity(spark):
+    """Degenerate-bucket cap: a mass-duplicate group larger than
+    max_bucket emits LINEAR bucket-min star candidates (not |B|^2, not
+    nothing) — downstream CC still collapses it to one cluster."""
+    import numpy as np
+
+    from cli_p_spark.operators.ccomp import connected_components
+    from cli_p_spark.operators.lsh import hyperplane_lsh_pairs
+
+    rng = np.random.default_rng(31)
+    v = rng.standard_normal(16)
+    v /= np.linalg.norm(v)
+    w = rng.standard_normal(16)
+    w /= np.linalg.norm(w)
+    rows = [(f"dup{i:03d}", v.astype(np.float32).tolist()) for i in range(40)]
+    rows += [(f"solo{i:03d}", w.astype(np.float32).tolist()) for i in range(3)]
+    df = spark.createDataFrame(rows, "id string, embedding array<float>")
+
+    pairs = hyperplane_lsh_pairs(
+        df, "embedding", "id", tau=0.99, dim=16,
+        max_bucket=10, oversize="star",
+    )
+    got = [(r["src"], r["dst"]) for r in pairs.collect()]
+    # linear, not quadratic: the 40-dup group contributes 39 star pairs,
+    # the 3-solo group (under the cap) pairs quadratically (3)
+    assert len(got) == 39 + 3, len(got)
+    comps = connected_components(pairs.select("src", "dst"))
+    comp_of = {r["node"]: r["component"] for r in comps.collect()}
+    assert len({comp_of[f"dup{i:03d}"] for i in range(40)}) == 1
+    assert len({comp_of[f"solo{i:03d}"] for i in range(3)}) == 1
+
+    dropped = hyperplane_lsh_pairs(
+        df, "embedding", "id", tau=0.99, dim=16,
+        max_bucket=10, oversize="drop",
+    )
+    assert dropped.filter("src LIKE 'dup%'").count() == 0

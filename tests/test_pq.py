@@ -144,3 +144,46 @@ def test_ivfpq_linking_pr_gate(spark):
     golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
     p, r = precision_recall(got, golden)
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_opq_rotation_reduces_quantization_error():
+    """OPQ gates: R orthogonal, deterministic, and rotated-space PQ
+    reconstruction error <= plain PQ error (the whole point of OPQ)."""
+    from cli_p_spark.operators.pq import pq_decode, train_opq
+
+    rng = np.random.default_rng(21)
+    # correlated dims (random covariance) — where OPQ has room to help
+    A = rng.standard_normal((32, 32))
+    X = rng.standard_normal((3000, 32)) @ A
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    R, books_r = train_opq(X, m_subspaces=4, iters=5)
+    assert np.allclose(R @ R.T, np.eye(32), atol=1e-9)
+    R2, _ = train_opq(X, m_subspaces=4, iters=5)
+    assert np.array_equal(R, R2)
+    books_p = train_pq(X, m_subspaces=4)
+    err_plain = np.linalg.norm(X - pq_decode(pq_encode(X, books_p), books_p))
+    XR = X @ R
+    err_opq = np.linalg.norm(XR - pq_decode(pq_encode(XR, books_r), books_r))
+    assert err_opq <= err_plain * 1.001, (err_opq, err_plain)
+
+
+def test_opq_linking_pr_gate(spark):
+    """OPQ-rotated PQ preselect + exact rescore holds the P/R gate."""
+    from cli_p_spark.operators.pq import train_opq
+
+    cfg = PipelineConfig()
+    docs_pdf, ents_pdf = corpus(n_docs=150, n_entities=1000)
+    docs = documents_to_spark(spark, docs_pdf)
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    R, books = train_opq(emat, m_subspaces=8, iters=4)
+    ok, _ = split_skips(encode_mentions(explode_spans(docs), cfg))
+    mentions = ok.select("doc_id", "span_idx", "kind", "embedding")
+    entities = entities_to_spark(spark, ents_pdf)
+    links = link_pq(
+        mentions, entities, ents_pdf, books, k=cfg.k, tau=cfg.tau, kc=32,
+        rotation=R,
+    )
+    got = triples_from_links(links).toPandas()
+    golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
+    p, r = precision_recall(got, golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
