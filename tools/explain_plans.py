@@ -32,6 +32,8 @@ def main():
         "window_topk_orders_per_cust",
         "knn_bruteforce_cosine",
         "range_join_ship_lag",
+        "minhash_dedup_pairs",
+        "embedding_neardup_cosine",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
