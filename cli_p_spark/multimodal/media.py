@@ -16,9 +16,14 @@ bytes).  Everything around the stub — batching, schema, null-handling,
 quarantine semantics — is real and tested.
 
 MEDIA_SCHEMA:
-    media_id string, kind string ('image'|'video'),
+    media_id string, kind string ('image'|'video'|'audio'),
     content binary, meta struct<width:int, height:int, format:string,
                                 n_frames:int>
+
+Audio reuses the header slots (documented, not overloaded silently):
+width = sample_rate, height = 1, n_frames = n_samples — the decode pass
+is modality-agnostic; `audio_chunk_plan` is the waveform twin of
+`frame_sample_plan`.
 """
 
 from __future__ import annotations
@@ -65,17 +70,22 @@ def make_media_df(spark, n_media: int = 50, seed: int = SEED) -> DataFrame:
     rng = np.random.default_rng(seed * 31 + 7)
     rows = []
     for i in range(n_media):
-        kind = "video" if i % 5 == 0 else "image"
-        w = int(rng.integers(64, 1920))
-        h = int(rng.integers(64, 1080))
-        nf = int(rng.integers(24, 240)) if kind == "video" else 1
+        kind = ("video" if i % 5 == 0
+                else "audio" if i % 5 == 3 else "image")
+        if kind == "audio":
+            w, h = 16_000, 1  # sample_rate, mono
+            nf = int(rng.integers(16_000, 160_000))  # n_samples
+            fmt = "wav"
+        else:
+            w = int(rng.integers(64, 1920))
+            h = int(rng.integers(64, 1080))
+            nf = int(rng.integers(24, 240)) if kind == "video" else 1
+            fmt = "mp4" if kind == "video" else "jpg"
         mid = f"media{i:05d}"
-        blob = synth_media_bytes(mid, w, h, "mp4" if kind == "video" else "jpg",
-                                 nf, seed)
+        blob = synth_media_bytes(mid, w, h, fmt, nf, seed)
         if i == 7:  # baked-in corrupt blob: decode must quarantine, not die
             blob = b"NOTMEDIA" + blob[8:]
-        rows.append((mid, kind, bytearray(blob), (w, h,
-                     "mp4" if kind == "video" else "jpg", nf)))
+        rows.append((mid, kind, bytearray(blob), (w, h, fmt, nf)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -157,7 +167,10 @@ def resize_plan(decoded: DataFrame, max_side: int = 224) -> DataFrame:
         F.lit(1.0),
         F.lit(max_side) / F.greatest("width", "height").cast("double"),
     )
-    ok = decoded.filter(F.col("skip_reason").isNull())
+    ok = decoded.filter(
+        F.col("skip_reason").isNull()
+        & F.col("kind").isin("image", "video")
+    )
     return ok.select(
         "media_id",
         F.floor(F.col("width") * scale).cast("int").alias("out_width"),
@@ -178,4 +191,48 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 24) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
+    )
+
+
+AUDIO_CHUNK_SCHEMA = (
+    "media_id string, chunk_idx int, start_sample long, end_sample long, "
+    "duration_s double"
+)
+
+
+def audio_chunk_plan(decoded: DataFrame, chunk_samples: int = 16_000
+                     ) -> DataFrame:
+    """Waveform chunking plan: one row per fixed-size sample window —
+    the audio twin of frame_sample_plan (audio meta: width=sample_rate,
+    n_frames=n_samples).  Pure Catalyst; chunks feed the same encode UDF
+    via a deterministic content ref (one shared vector space)."""
+    aud = decoded.filter(
+        (F.col("kind") == "audio") & F.col("skip_reason").isNull()
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        (F.col("n_frames") - 1).cast("long"),
+        F.lit(chunk_samples).cast("long"),
+    )
+    return aud.select(
+        "media_id",
+        F.posexplode(starts).alias("chunk_idx", "start_sample"),
+        "n_frames",
+        "width",
+    ).select(
+        "media_id",
+        "chunk_idx",
+        "start_sample",
+        F.least(
+            F.col("start_sample") + chunk_samples - 1, F.col("n_frames") - 1
+        ).cast("long").alias("end_sample"),
+        F.round(
+            (
+                F.least(
+                    F.col("start_sample") + chunk_samples,
+                    F.col("n_frames").cast("long"),
+                ) - F.col("start_sample")
+            ) / F.col("width"),
+            6,
+        ).alias("duration_s"),
     )

@@ -470,6 +470,51 @@ GROUP BY user_id
 """
 
 
+def events_sessionization(spark, sf_dir):
+    """Batch gap-based sessionization (30-min inactivity closes a
+    session): session index = running count of gap-exceeded boundaries —
+    the batch twin of streaming/sessions.py's applyInPandasWithState
+    sessionizer, expressed as two window functions (SQL-oracle-able)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    new_sess = F.when(
+        F.col("prev_ts").isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("sess_idx", F.sum(new_sess).over(wsum))
+    )
+    return sess.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+            / F.lit(1_000_000.0)
+        ).alias("duration_s"),
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, sess_idx, COUNT(*) AS n_events,
+       date_diff('microsecond', MIN(ts), MAX(ts)) / 1000000.0 AS duration_s
+FROM (
+  SELECT user_id, event_id, ts,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_idx
+  FROM (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts
+    FROM events))
+GROUP BY user_id, sess_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup + text analysis
 # ---------------------------------------------------------------------------
@@ -1598,6 +1643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "case_when_conditional_agg": case_when_conditional_agg,
     "events_user_activity": events_user_activity,
     "events_lag_gap": events_lag_gap,
+    "events_sessionization": events_sessionization,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -1653,6 +1699,7 @@ ORACLES: dict[str, str] = {
     "case_when_conditional_agg": CASE_SQL,
     "events_user_activity": EVENTS_AGG_SQL,
     "events_lag_gap": EVENTS_LAG_SQL,
+    "events_sessionization": SESSIONIZE_SQL,
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
     "doc_bpe_token_stats": _bpe_sql(),
