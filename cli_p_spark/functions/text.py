@@ -1,6 +1,7 @@
 """Text-analysis functions for corpus curation — all pure Catalyst
-expressions (whole-stage codegen, SQL-oracle-able) except the winnowing
-fingerprint, which is an Arrow pandas UDF.
+expressions (whole-stage codegen, SQL-oracle-able); the winnowing
+fingerprint lives in operators/dedup.py as a window-min DataFrame op
+(JVM-side since round 2).
 
 These generalize the reference's minimal string handling (extension
 filter build-index.py:32-34, lowercase prefix parsing query-index.py) to
@@ -8,16 +9,8 @@ the document-quality layer a 100 TB training-data pipeline needs."""
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-
-from ..config import SEED
 
 # stopword inventories for the language-ID heuristic: deterministic,
 # SQL-expressible (the DuckDB oracle uses the same lists), intentionally
@@ -109,46 +102,3 @@ def content_fingerprint(col: str | Column) -> Column:
     (lowercase, collapsed whitespace) — the exact-dedup key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))
-
-
-def make_winnow_udf(w: int = 8, k: int = 4, seed: int = SEED):
-    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
-    rolling hash over word k-grams, min per window of w, distinct mins ->
-    sorted array<long>.  Robust to local edits — near-dup docs share most
-    fingerprint elements.  Arrow-vectorized per batch."""
-    import hashlib
-
-    def stable(s: str) -> int:
-        return int.from_bytes(
-            hashlib.blake2b(f"{seed}:{s}".encode(), digest_size=8).digest(),
-            "little", signed=False,
-        ) >> 1
-
-    @pandas_udf("array<long>")
-    def winnow(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in batches:
-            out = []
-            for text in s:
-                toks = (text or "").lower().split()
-                if len(toks) < k:
-                    out.append(
-                        np.array([stable(" ".join(toks))], dtype=np.int64)
-                        if toks else np.array([], dtype=np.int64)
-                    )
-                    continue
-                hs = np.fromiter(
-                    (
-                        stable(" ".join(toks[i: i + k]))
-                        for i in range(len(toks) - k + 1)
-                    ),
-                    dtype=np.int64,
-                )
-                if len(hs) <= w:
-                    mins = np.array([hs.min()])
-                else:
-                    win = np.lib.stride_tricks.sliding_window_view(hs, w)
-                    mins = win.min(axis=1)
-                out.append(np.unique(mins))
-            yield pd.Series(out, dtype=object)
-
-    return winnow

@@ -345,6 +345,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    w: int = 8,
+    k: int = 4,
+    seed: int = SEED,
+) -> DataFrame:
+    """(_id, _fp) distinct winnowing fingerprints — ZERO Python
+    (input_hint): k-gram hashes via the JVM shingle+xxhash64 pipeline,
+    window-of-w minima via one per-document sliding-window min (the
+    round-2 replacement for the per-gram Python UDF in functions/text).
+    Document windows are bounded by document length, so the window
+    operator's per-partition state is bounded too."""
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_shingle_array(content_col, k)).alias("_pos", "_g"),
+    ).withColumn("_h", F.xxhash64(F.lit(seed), F.col("_g")))
+    n_grams = grams.groupBy("_id").agg(F.max("_pos").alias("_maxpos"))
+    win = (
+        Window.partitionBy("_id").orderBy("_pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    mins = (
+        grams.join(n_grams, "_id")
+        .withColumn("_wmin", F.min("_h").over(win))
+        # a winnowing window must hold w grams; shorter docs keep their
+        # single global min (every text yields >= 1 fingerprint)
+        .filter(
+            (F.col("_pos") <= F.col("_maxpos") - (w - 1))
+            | (F.col("_maxpos") < w - 1) & (F.col("_pos") == 0)
+        )
+    )
+    return mins.select("_id", F.col("_wmin").alias("_fp")).distinct()
+
+
 def winnow_neardup_pairs(
     df: DataFrame,
     content_col: str,
@@ -359,13 +397,15 @@ def winnow_neardup_pairs(
     inverted-index join shape as ngram_jaccard_pairs but over the
     winnowed subset — candidate volume scales with fingerprint density
     (~2/(w+1) of grams), not full gram sets."""
-    from ..functions.text import make_winnow_udf
+    fps = winnow_fingerprints(df, content_col, id_col, w=w, k=k, seed=seed)
+    return winnow_pairs_from_fingerprints(fps, min_shared=min_shared)
 
-    winnow = make_winnow_udf(w=w, k=k, seed=seed)
-    fps = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(winnow(F.col(content_col))).alias("_fp"),
-    ).distinct()
+
+def winnow_pairs_from_fingerprints(
+    fps: DataFrame, min_shared: int = 4
+) -> DataFrame:
+    """Inverted-index pair counting over a precomputed (_id, _fp) table
+    (persist-once / oracle-checkable twin)."""
     a = fps.select(F.col("_id").alias("src"), "_fp")
     b = fps.select(F.col("_id").alias("dst"), "_fp")
     return (

@@ -1108,6 +1108,31 @@ WHERE hamming <= 3
 """
 
 
+def doc_winnow_neardup(spark, sf_dir):
+    """Winnowing near-dup pairs (Schleimer'03) from staged fingerprints:
+    both engines count shared window-min k-gram hashes over the same
+    staged bytes."""
+    from ..operators.dedup import (
+        winnow_fingerprints,
+        winnow_pairs_from_fingerprints,
+    )
+
+    d = _docs_as_text(spark, sf_dir)
+    fps = _stage(
+        winnow_fingerprints(d, "text", "doc_id", w=8, k=4), "winnow_fps"
+    )
+    return winnow_pairs_from_fingerprints(fps, min_shared=2)
+
+
+WINNOW_SQL = f"""
+SELECT a._id AS src, b._id AS dst, COUNT(*) AS n_shared
+FROM {_staged_sql('winnow_fps')} a
+JOIN {_staged_sql('winnow_fps')} b ON a._fp = b._fp AND a._id < b._id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 def embedding_neardup_cosine(spark, sf_dir):
     """Cosine pairs >= 0.4 via the distributed IVF bucket self-join at
     nprobe=nlist (exhaustive => exact => SQL-oracle-able).  No top-k cap:
@@ -1665,6 +1690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
+    "doc_winnow_neardup": doc_winnow_neardup,
     "embedding_neardup_cosine": embedding_neardup_cosine,
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "knn_pq_rescore": knn_pq_rescore,
@@ -1727,6 +1753,7 @@ ORACLES: dict[str, str] = {
     "range_join_ship_lag": RANGE_JOIN_SQL,
     "minhash_dedup_pairs": _minhash_sql(),
     "simhash_dedup_pairs": _simhash_sql(),
+    "doc_winnow_neardup": WINNOW_SQL,
     "kg_triples_exact": KG_EXACT_SQL,
     "kg_skips_quarantine": KG_SKIPS_SQL,
     "kg_triples_ann": KG_ANN_SQL,

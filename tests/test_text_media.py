@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 from cli_p_spark.functions.text import (
     content_fingerprint,
     lang_id,
-    make_winnow_udf,
     quality_score,
     token_count,
 )
@@ -71,27 +70,27 @@ def test_fingerprint_normalization(spark):
 
 
 def test_winnow_fingerprint_overlap(spark):
+    from cli_p_spark.operators.dedup import winnow_fingerprints
+
     base = " ".join(f"tok{i}" for i in range(60))
     edited = base.replace("tok30", "tokXX")
     other = " ".join(f"zzz{i}" for i in range(60))
     df = spark.createDataFrame(
         [("a", base), ("b", edited), ("c", other)], "id string, text string"
     )
-    winnow = make_winnow_udf()
-    out = {
-        r["id"]: set(r["fp"])
-        for r in df.select("id", winnow("text").alias("fp")).collect()
-    }
+
+    def fps():
+        out = {}
+        for r in winnow_fingerprints(df, "text", "id").collect():
+            out.setdefault(r["_id"], set()).add(r["_fp"])
+        return out
+
+    out = fps()
     sim_ab = len(out["a"] & out["b"]) / len(out["a"] | out["b"])
     sim_ac = len(out["a"] & out["c"]) / len(out["a"] | out["c"])
     assert sim_ab > 0.5
     assert sim_ac == 0.0
-    # deterministic across runs
-    out2 = {
-        r["id"]: set(r["fp"])
-        for r in df.select("id", winnow("text").alias("fp")).collect()
-    }
-    assert out == out2
+    assert out == fps()  # deterministic across runs
 
 
 def test_media_decode_and_quarantine(spark):
