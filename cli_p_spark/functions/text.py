@@ -29,15 +29,18 @@ def token_count(col: str | Column) -> Column:
     return F.size(F.split(c, " "))
 
 
-# GPT-2-style pretokenizer pattern, lookahead-free so it runs identically
-# under Java regex (Spark) and RE2 (DuckDB oracle): contractions, space-
-# prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+# GPT-2-style pretokenizer pattern, lookahead-free AND with an explicit
+# whitespace class so it runs identically under Java regex (Spark) and
+# RE2 (DuckDB oracle) — the engines disagree on \s membership (Java
+# includes \x0B, RE2 does not).  Contractions, space-prefixed letter
+# runs, digit runs, punctuation runs, whitespace runs.
+_WS = r" \t\n\r\f\x0B"
 BPE_SPLIT_RE = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?[a-zA-Z]+"
     r"| ?[0-9]+"
-    r"| ?[^a-zA-Z0-9\s]+"
-    r"|\s+"
+    rf"| ?[^a-zA-Z0-9{_WS}]+"
+    rf"|[{_WS}]+"
 )
 
 

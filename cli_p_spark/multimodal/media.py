@@ -185,6 +185,7 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 24) -> DataFrame:
     image spans use (one shared vector space, README.md:8-10)."""
     vids = decoded.filter(
         (F.col("kind") == "video") & F.col("skip_reason").isNull()
+        & (F.col("n_frames") >= 1)
     )
     return vids.select(
         "media_id",
@@ -208,6 +209,8 @@ def audio_chunk_plan(decoded: DataFrame, chunk_samples: int = 16_000
     via a deterministic content ref (one shared vector space)."""
     aud = decoded.filter(
         (F.col("kind") == "audio") & F.col("skip_reason").isNull()
+        & (F.col("n_frames") >= 1)  # empty waveform -> zero chunks,
+                                     # not a sequence(0,-1) runtime error
     )
     starts = F.sequence(
         F.lit(0).cast("long"),

@@ -101,8 +101,9 @@ def train_centroids_distributed(
     index to the driver: a seeded executor-side sample (at most
     ~max_train rows) is all that crosses the wire — the 10^7-entity
     driver-collect cliff from SCALE.md closed.  Deterministic for a fixed
-    input + seed (sample uses Spark's seeded Bernoulli sampler; k-means
-    itself is the seeded NumPy trainer)."""
+    input + seed: the sample is the global top-max_train rows by a
+    seeded content hash (layout-independent), and k-means itself is the
+    seeded NumPy trainer."""
     from pyspark.sql import functions as F
 
     # deterministic layout-independent sample: global top-max_train by a
@@ -262,12 +263,17 @@ class _IvfIndex:
     def from_broadcast(cls, value):
         """Broadcast values are deserialized once per executor process and
         memoized by Spark; cache the wrapper too so a possible f16->f32
-        upcast happens once per process, not once per task."""
+        upcast happens once per process, not once per task.  Single-slot,
+        released BEFORE the replacement is built: a long-lived worker
+        switching between two multi-GB indexes holds at most one wrapper
+        (plus whatever Spark's own broadcast cache pins)."""
         inst = cls._cached
-        if inst is None or inst._payload is not value:
-            inst = cls(*value)
-            inst._payload = value
-            cls._cached = inst
+        if inst is not None and inst._payload is value:
+            return inst
+        cls._cached = inst = None  # drop the old wrapper before building
+        inst = cls(*value)
+        inst._payload = value
+        cls._cached = inst
         return inst
 
     def search(self, Q: np.ndarray, k: int, nprobe: int):
@@ -307,6 +313,24 @@ class _IvfIndex:
             self._track(E)
             if kc < E:
                 part = np.argpartition(-scores32, kc - 1, axis=1)[:, :kc]
+                # boundary ties: argpartition keeps an ARBITRARY subset of
+                # candidates tied at the kc-th f32 score, which can drop
+                # the min-entity-id member (mass-duplicate corpora) and
+                # break the (-score, entity_id asc) determinism contract.
+                # Repair affected rows only: keep everything above the
+                # boundary, fill remaining slots with the tied candidates
+                # of smallest ORIGINAL entity index.
+                sel_sc = np.take_along_axis(scores32, part, axis=1)
+                b = sel_sc.min(axis=1)
+                n_tied_all = (scores32 == b[:, None]).sum(axis=1)
+                n_tied_sel = (sel_sc == b[:, None]).sum(axis=1)
+                for i in np.where(n_tied_all > n_tied_sel)[0]:
+                    above = np.where(scores32[i] > b[i])[0]
+                    tied = np.where(scores32[i] == b[i])[0]
+                    tied = tied[np.argsort(self.perm[tied])]
+                    part[i] = np.concatenate(
+                        [above, tied[: kc - len(above)]]
+                    )
             else:
                 part = np.tile(np.arange(E), (n, 1))
             sel = self.perm[part]

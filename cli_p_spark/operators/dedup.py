@@ -126,8 +126,11 @@ def minhash_lsh_pairs(
     agreeing MinHash components (unbiased estimator; for exact set
     Jaccard swap in a shingle-set join — estimator keeps verification a
     fixed-width column compare, scale-friendly)."""
+    # persist: the shingle-explode + 64-way min agg is the dominant cost
+    # and lsh_pairs_from_signatures consumes sig in FOUR plan branches
+    # (banding, bucket sizes, and the two verification re-attach joins)
     sig = minhash_signatures(df, content_col, id_col, n_hashes, shingle_w,
-                             seed)
+                             seed).persist()
     return lsh_pairs_from_signatures(
         sig, n_hashes=n_hashes, bands=bands,
         jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,

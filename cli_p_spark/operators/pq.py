@@ -205,10 +205,12 @@ class _PqIndex:
     @classmethod
     def from_broadcast(cls, value):
         inst = cls._cached
-        if inst is None or inst._payload is not value:
-            inst = cls(*value)
-            inst._payload = value
-            cls._cached = inst
+        if inst is not None and inst._payload is value:
+            return inst
+        cls._cached = inst = None  # single slot: release before building
+        inst = cls(*value)
+        inst._payload = value
+        cls._cached = inst
         return inst
 
     def _track(self, cols: int) -> None:
@@ -216,6 +218,9 @@ class _PqIndex:
             self.stats["max_score_cols"] = cols
 
     def preselect(self, Q: np.ndarray, kc: int, nprobe: int = 0):
+        """[n, kc] candidate ORIGINAL entity indices; -1 marks unfilled
+        slots (fewer than kc codes reachable through the probed cells) —
+        callers must drop negatives."""
         if len(Q) <= self.BLOCK:
             return self._preselect_block(Q, kc, nprobe)
         return np.concatenate(
@@ -269,6 +274,9 @@ class _PqIndex:
                 best_sc, best_ix = _merge_topk(
                     best_sc, best_ix, S, self.perm[b0:b0 + len(cb)], kc
                 )
+        # unfilled slots (probed cells held < kc codes) would otherwise
+        # leak entity index 0 as a fabricated candidate — mark them -1
+        best_ix[~np.isfinite(best_sc)] = -1
         return best_ix
 
 
@@ -350,10 +358,14 @@ def link_pq(
             ncand = cand.shape[1]
             if ncand == 0:
                 continue
+            flat = cand.ravel()
+            valid = flat >= 0  # drop unfilled preselect slots
+            if not valid.any():
+                continue
             out = pdf[keys].iloc[
-                np.repeat(np.arange(len(pdf)), ncand)
+                np.repeat(np.arange(len(pdf)), ncand)[valid]
             ].reset_index(drop=True)
-            out["entity_id"] = idx.eids[cand.ravel()]
+            out["entity_id"] = idx.eids[flat[valid]]
             yield out
 
     cands = ment.select(*keys, "embedding").mapInPandas(

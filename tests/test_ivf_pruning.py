@@ -101,3 +101,62 @@ def test_exhaustive_probe_uses_dense_path_and_is_exact():
     for i in range(len(Q)):
         order = np.lexsort((cand[i], -sc64[i]))[:k]
         assert [int(cand[i][j]) for j in order] == [g[0] for g in golden[i]]
+
+
+def test_exhaustive_boundary_ties_keep_min_entity_ids():
+    """Mass-duplicate index (dedup corpora): when >kc entities tie at the
+    f32 boundary, the exhaustive path must keep the minimum entity ids —
+    the (-score, entity_id asc) determinism contract."""
+    import pandas as pd
+
+    dim, k = 8, 3
+    v = np.ones(dim, dtype=np.float32) / np.sqrt(dim)
+    w = -v
+    # 20 exact copies of the best vector + 5 fillers
+    embs = [v] * 20 + [w] * 5
+    pdf = pd.DataFrame(
+        {"entity_id": [f"e{i:04d}" for i in range(25)],
+         "embedding": embs}
+    )
+    C = np.stack([v.astype(np.float64), w.astype(np.float64)])
+    idx = _IvfIndex.from_broadcast(build_ivf_broadcast_value(pdf, C))
+    Q = np.asarray([v], dtype=np.float64)
+    cand, sc64 = idx.search(Q, k, nprobe=2)  # exhaustive (nlist=2)
+    order = np.lexsort((cand[0], -sc64[0]))[:k]
+    got = [int(cand[0][j]) for j in order]
+    assert got == [0, 1, 2], got  # the three smallest-id duplicates
+
+
+def test_pq_preselect_unfilled_slots_marked_invalid():
+    """IVF-PQ probing cells holding fewer than kc codes must NOT leak
+    entity index 0 as a fabricated candidate."""
+    import pandas as pd
+
+    from cli_p_spark.operators.pq import (
+        _PqIndex,
+        build_pq_broadcast_value,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(77)
+    dim = 8
+    # two TIGHT well-separated clusters around ±e1; cell 1 holds only 2
+    e1 = np.zeros(dim)
+    e1[0] = 1.0
+    a = e1 + 0.01 * rng.standard_normal((30, dim))
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    b = -e1 + 0.01 * rng.standard_normal((2, dim))
+    b /= np.linalg.norm(b, axis=1, keepdims=True)
+    X = np.concatenate([a, b]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"entity_id": [f"e{i:04d}" for i in range(len(X))],
+         "embedding": list(X)}
+    )
+    books = train_pq(X, m_subspaces=2)
+    C = np.stack([e1, -e1])
+    idx = _PqIndex(*build_pq_broadcast_value(pdf, books, centroids=C))
+    q = np.asarray([-e1], dtype=np.float64)
+    cand = idx.preselect(q, kc=10, nprobe=1)  # probed cell has 2 codes
+    valid = cand[cand >= 0]
+    assert (cand == -1).sum() == 8, cand  # 10 slots, 2 real candidates
+    assert set(valid) <= {30, 31}, valid  # only the probed cell's members
