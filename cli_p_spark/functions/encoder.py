@@ -117,6 +117,7 @@ def encode_batch(
     n = len(contents)
     ok = np.ones(n, dtype=bool)
     vocab = _VocabMatrix.get(dim, seed)
+    vocab.maybe_flush()
     flat_idx: list[int] = []
     counts = np.zeros(n, dtype=np.int64)
     lookup = vocab.index_of
@@ -144,9 +145,18 @@ class _VocabMatrix:
     """Executor-global growing token-vector matrix (per (dim, seed)) —
     the pandas-UDF analogue of the reference's one model load per process
     (build-index.py:17-20): token vectors are computed once per executor
-    and reused across every Arrow batch."""
+    and reused across every Arrow batch.
+
+    BOUNDED: a high-cardinality corpus (urls, ids, typo-rich web text)
+    would otherwise grow the cache by dim x 8 B per distinct token until
+    the worker OOMs.  At MAX_VOCAB entries the cache resets (epoch
+    flush); token vectors are pure functions of (token, dim, seed), so a
+    reset only costs recomputation, never correctness."""
 
     _instances: dict[tuple[int, int], "_VocabMatrix"] = {}
+
+    # 2^19 entries x 512-d x 8 B = 2 GiB worst case; 256 MiB at dim=64
+    MAX_VOCAB = 1 << 19
 
     def __init__(self, dim: int, seed: int):
         self.dim, self.seed = dim, seed
@@ -160,6 +170,14 @@ class _VocabMatrix:
         if inst is None:
             inst = cls._instances[key] = cls(dim, seed)
         return inst
+
+    def maybe_flush(self) -> None:
+        """Epoch flush at BATCH boundaries only — indices handed out
+        within a batch must stay valid until its gather runs."""
+        if len(self.map) >= self.MAX_VOCAB:
+            _token_cache.clear()
+            self.map = {}
+            self.matrix = np.empty((256, self.dim), dtype=np.float64)
 
     def index_of(self, token: str) -> int:
         idx = self.map.get(token)

@@ -74,8 +74,10 @@ def lang_id(col: str | Column) -> Column:
         )
         for lang, words in sorted(LANG_MARKERS.items(), reverse=True)
     ]
-    best = F.greatest(*scores)  # struct compare: hits desc... greatest picks
-    # max by (hits, lang); reverse-sorted input means ties -> earlier alpha
+    # greatest = max by (hits, lang): score ties break toward the
+    # lexicographically LARGEST language code (the SQL oracle checks
+    # fr -> es -> en -> de in that same order)
+    best = F.greatest(*scores)
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 

@@ -91,7 +91,7 @@ def _small_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
 
 def connected_components(
     edges: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 50,
     salt_buckets: int = 8,
     src: str = "src",
     dst: str = "dst",
@@ -111,6 +111,7 @@ def connected_components(
         .distinct(),
         checkpoint,
     )
+    converged = False
     for _ in range(max_iter):
         e2 = _checkpointer(
             _small_star(_large_star(e, salt_buckets), salt_buckets),
@@ -122,7 +123,16 @@ def connected_components(
         )
         e = e2
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a non-star edge set would silently emit MULTIPLE component ids
+        # per node (corrupt dedup/canonicalization downstream) — fail
+        # loudly instead; alternating stars converge in O(log^2 n)
+        # rounds, so hitting 50 means something is genuinely wrong
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     # e is now (node -> component-min) star edges; add singleton roots
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = (

@@ -15,9 +15,11 @@ the 100 TB corpus; the modular operators remain for pipelines that must
 persist embeddings (resume/lineage writes mentions anyway — that write IS
 the one legitimate vector serialization).
 
-Output rows: one per span; entity_id IS NULL <=> the span was quarantined
-(corrupt media, build-index.py:53-61) or produced no link >= tau.
-``skip_reason`` distinguishes the two.
+Output rows: one per QUARANTINED span (entity_id NULL, skip_reason set,
+-> skips) plus one per link with score >= tau (rank-1..k).  A span that
+encodes fine but whose best candidate scores below tau yields NO row —
+thresholded linking semantics; reconcile span counts against
+links+skips+sub-tau upstream if an audit needs all three buckets.
 """
 
 from __future__ import annotations

@@ -89,6 +89,21 @@ def link_exact_broadcast(
             if kk < n_e:
                 # argpartition for the candidate set, then exact sort of it
                 part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                # boundary ties: argpartition keeps an ARBITRARY member of
+                # candidates tied at the k-th score (mass-duplicate entity
+                # catalogs) — repair affected rows so the kept tied
+                # candidates are the smallest entity indices, preserving
+                # the (-score, entity_id asc) determinism contract
+                psc = np.take_along_axis(scores, part, axis=1)
+                b = psc.min(axis=1)
+                n_tied_all = (scores == b[:, None]).sum(axis=1)
+                n_tied_sel = (psc == b[:, None]).sum(axis=1)
+                for i in np.where(n_tied_all > n_tied_sel)[0]:
+                    above = np.where(scores[i] > b[i])[0]
+                    tied = np.sort(np.where(scores[i] == b[i])[0])
+                    part[i] = np.concatenate(
+                        [above, tied[: kk - len(above)]]
+                    )
             else:
                 part = np.tile(np.arange(n_e), (len(pdf), 1))
             n = len(pdf)

@@ -1022,7 +1022,12 @@ _STAGE_DIR = "/tmp/cli_p_spark_oracle"
 def _stage(df, name: str) -> "DataFrame":
     """Write a deterministic intermediate where the DuckDB oracle can
     read_parquet it, and return the read-back frame (so the Spark result
-    provably derives from the staged bytes, not a recomputation)."""
+    provably derives from the staged bytes, not a recomputation).
+
+    The path is FIXED (the oracle SQL strings are static), so staged
+    entries assume one driver-contract run at a time — concurrent runs
+    would clobber each other's staging.  Content is deterministic, so a
+    stale file from a previous run of the same corpus is harmless."""
     path = f"{_STAGE_DIR}/{name}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

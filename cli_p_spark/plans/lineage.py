@@ -136,7 +136,10 @@ def run_pipeline(
     if todo:
         t0 = time.time()
         batch = spans.filter(F.col("part_id").isin(todo))
-        encoded = encode_mentions(batch, cfg)
+        # cache: the expensive encode UDF feeds BOTH the mentions and the
+        # skips writes — without it each write (and any count) re-runs
+        # the encoder over the whole batch
+        encoded = encode_mentions(batch, cfg).persist()
         ok, skips = split_skips(encoded)
         store.overwrite_partitions(
             ok.select("doc_id", "span_idx", "kind", "embedding", "part_id"),
@@ -149,23 +152,31 @@ def run_pipeline(
         store.overwrite_partitions(
             skips_with_part, "skips", partition_by=("part_id",)
         )
+        encoded.unpersist()
         if fail_after_parts is not None and fail_mode == "after_data":
             # simulated kill inside the crash window: data committed,
             # lineage not — these partitions must re-run idempotently
             return {"out_dir": out_dir, "status": "killed"}
         wall = time.time() - t0
-        # per-partition metrics from the written data (exact counts)
+        # per-partition metrics from the WRITTEN data (exact counts, no
+        # recompute of the encode stage)
         counts = {
             r["part_id"]: (r["n"],)
             for r in store.read("mentions")
             .filter(F.col("part_id").isin(todo))
             .groupBy("part_id").agg(F.count(F.lit(1)).alias("n")).collect()
         }
-        skip_counts = {
-            r["part_id"]: r["n"]
-            for r in skips_with_part.groupBy("part_id")
-            .agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        skips_written = store.read("skips")
+        skip_counts = (
+            {}
+            if skips_written is None
+            else {
+                r["part_id"]: r["n"]
+                for r in skips_written.filter(F.col("part_id").isin(todo))
+                .groupBy("part_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        )
         now = _utcnow()
         _append_lineage(
             spark,

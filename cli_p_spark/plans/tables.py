@@ -54,7 +54,18 @@ class TableStore:
                 from pyspark.sql import functions as F
 
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
-            w.createOrReplace() if not self.exists(table) else w.append()
+            # append-first, create-on-miss: a check-then-act
+            # exists()+createOrReplace would let two concurrent FIRST
+            # appends both see "absent" and the second REPLACE silently
+            # drop the first batch; create() (not createOrReplace) fails
+            # on an existing table, so the loser retries as an append
+            try:
+                w.append()
+            except Exception:
+                try:
+                    w.create()
+                except Exception:
+                    w.append()
             return
         import uuid
 

@@ -79,3 +79,50 @@ def test_sessionize_matches_oracle(spark, tmp_path):
         if s[2] + 1800 < base + 100_000 - 10  # watermark = max ts - 10s
     ]
     assert got == sorted(expected), (got, expected)
+
+
+def test_late_event_does_not_bridge_a_gap(spark, tmp_path):
+    """A late event older than the open session must NOT merge across a
+    silence wider than the gap (the round-2 buffered-state fix): an open
+    session at 12:00 plus a late 11:15 arrival (gap 30 min) is TWO
+    sessions, exactly as the batch sessionizer splits them."""
+    base = 1_700_000_000
+    in_dir = str(tmp_path / "late_in")
+    schema = "user_id long, value double, ts timestamp"
+
+    def drop(rows, name):
+        spark.createDataFrame(
+            rows, "user_id long, epoch long, value double"
+        ).withColumn("ts", F.col("epoch").cast("timestamp")).drop(
+            "epoch"
+        ).select("user_id", "value", "ts").coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    drop([(1, base + 2700, 1.0)], "b1")              # 12:00-ish event
+    drop([(1, base, 1.0),                            # late 11:15 event
+          (1, base + 100_000, 0.5)], "b2")           # watermark advancer
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)              # one drop per batch
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize(stream, gap_seconds=1800, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], int(r["session_start"].timestamp()),
+         int(r["session_end"].timestamp()), r["n_events"])
+        for r in spark.sql("select * from late_sessions").collect()
+    )
+    assert (1, base, base, 1) in got, got            # the late lone event
+    assert (1, base + 2700, base + 2700, 1) in got, got
+    # and nothing merged them
+    assert all(not (s <= base and e >= base + 2700) for _, s, e, _ in got)
