@@ -21,7 +21,7 @@ if _HERE not in sys.path:
 _PKG_ZIP: str | None = None
 
 
-def _ensure_workers(spark: "SparkSession") -> None:
+def _ensure_workers(spark: "SparkSession", _retry: bool = True) -> None:
     """Executor processes unpickle UDF closures that import cli_p_spark;
     if the driver session wasn't launched from this directory the workers
     can't resolve the package.  Ship it via addPyFile (idempotent)."""
@@ -44,7 +44,14 @@ def _ensure_workers(spark: "SparkSession") -> None:
     try:
         spark.sparkContext.addPyFile(_PKG_ZIP)
     except Exception:
-        pass  # already added on this context
+        # a genuine failure (e.g. the tempdir was reaped) must not be
+        # swallowed into a later worker-side ModuleNotFoundError: rebuild
+        # the zip ONCE and retry; re-adding an existing path only WARNs,
+        # so reaching here means something real went wrong
+        if not _retry:
+            raise
+        _PKG_ZIP = None
+        _ensure_workers(spark, _retry=False)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

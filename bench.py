@@ -13,8 +13,9 @@ Methodology notes:
   subprocess: pinning bounds the WHOLE process tree (JVM helper threads
   included), and both levels stay far below the machine's core count so
   the 4x level isn't throttled by memory-bandwidth saturation.
-- min of 3 simultaneous paired runs per level: the sandbox VM has noisy
-  neighbors; the per-level minimum approximates the clean machine.
+- sequential interleaved lo/hi reps (adaptive 2-6 per level), min per
+  level: the sandbox VM has noisy neighbors; the per-level minimum
+  approximates the clean machine for both levels.
 - each session runs a small warm-up job first (Python worker spawn +
   broadcast deserialization are one-time costs, not steady-state).
 
@@ -63,13 +64,19 @@ _CORPUS_CACHE: dict[int, str] = {}
 
 
 def _session(cores: int):
+    import __spark_entry__ as entry_mod
+
     from cli_p_spark.session import get_spark
 
-    return get_spark(
+    spark = get_spark(
         app=f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
     )
+    # ship the package to Python workers: a foreign-cwd launch otherwise
+    # dies worker-side with ModuleNotFoundError inside mapInPandas
+    entry_mod._ensure_workers(spark)
+    return spark
 
 
 def _corpus_path(spark, ents_pdf, n_docs: int) -> str:
@@ -80,7 +87,12 @@ def _corpus_path(spark, ents_pdf, n_docs: int) -> str:
     from cli_p_spark.fixtures.distributed import distributed_documents
 
     if n_docs not in _CORPUS_CACHE:
-        path = tempfile.mkdtemp(prefix=f"kg_corpus_{n_docs}_") + "/docs"
+        import atexit
+        import shutil
+
+        base = tempfile.mkdtemp(prefix=f"kg_corpus_{n_docs}_")
+        atexit.register(shutil.rmtree, base, True)  # no /tmp leak per run
+        path = base + "/docs"
         distributed_documents(spark, n_docs, ents_pdf).write.mode(
             "overwrite"
         ).parquet(path)
@@ -135,13 +147,18 @@ def _spawn_scale_level(cores: int, cpu_list: str, n_docs: int,
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", cpu_list] + cmd
     return subprocess.Popen(
-        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
 
 
 def _collect_scale_level(proc, cores: int, n_docs: int) -> dict:
-    out, _ = proc.communicate()
+    out, err = proc.communicate()
+    if proc.returncode != 0 or not out.strip():
+        raise RuntimeError(
+            f"scale worker (cores={cores}) failed rc={proc.returncode}; "
+            f"stderr tail: {err[-2000:] if err else '<empty>'}"
+        )
     payload = json.loads(out.strip().splitlines()[-1])
     return {
         "cores": cores,
@@ -183,7 +200,11 @@ def main():
 
     # --- scaling evidence: same KG job, same input, N vs 4N cores,
     # each level a taskset-pinned subprocess (true core isolation) ---
-    if RUN_SCALING:
+    if RUN_SCALING and (os.cpu_count() or 0) < SCALE_HI:
+        extra["scaling_skipped"] = (
+            f"machine has {os.cpu_count()} cores < SCALE_HI={SCALE_HI}"
+        )
+    elif RUN_SCALING:
         corpus = _CORPUS_CACHE[SCALE_DOCS]
         # sequential pinned runs (no self-contention), interleaved
         # lo/hi/lo/hi..., min per level: with intermittent VM-neighbor
@@ -209,7 +230,6 @@ def main():
         extra["scaling_lo"], extra["scaling_hi"] = best["lo"], best["hi"]
         t_lo = extra["scaling_lo"]["wall_s"]
         t_hi = extra["scaling_hi"]["wall_s"]
-        ratio = SCALE_HI / SCALE_LO
         extra["scaling_efficiency"] = round(t_lo / (ratio * t_hi), 3)
         extra["scaling_n_docs"] = SCALE_DOCS
 
@@ -221,7 +241,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": results,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "sf": os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"),
                 **extra,
             }
         )

@@ -8,11 +8,12 @@ Usage: python tools/check_contract.py [sf_dir] [only_name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -24,21 +25,25 @@ def canon_cell(v, strict=True):
     """strict=True compares floats by full repr — STRICTER than the
     driver's value hash, so any cross-engine ulp drift fails HERE first.
     Pass strict=False (env CHECK_LOOSE=1) for the 6-sig-digit fallback
-    when triaging."""
+    when triaging.  Recurses into list/tuple cells (array columns) so
+    the float policy applies to embedding-style columns too."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v) if strict else f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x, strict) for x in v) + "]"
     return str(v)
 
 
 def canon(rows, cols):
-    import os
-
     strict = os.environ.get("CHECK_LOOSE", "0") != "1"
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # lower(): must match the case-insensitive column-name check, or
+    # case-differing names sort differently per engine and every cell
+    # gets compared against the wrong column
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
     return sorted(
         tuple(canon_cell(r[i], strict) for i in order) for r in rows
     )
@@ -59,6 +64,10 @@ def main():
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL: unknown query names {sorted(unknown)}")
+        sys.exit(1)
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:

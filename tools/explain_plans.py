@@ -7,9 +7,11 @@ Usage: python tools/explain_plans.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 
 def main():
@@ -62,7 +64,7 @@ def main():
         "broadcast-index search adds none.\n\n"
         f"```\n{plan}\n```\n"
     )
-    with open("PLANS.md", "w") as f:
+    with open(os.path.join(_ROOT, "PLANS.md"), "w") as f:
         f.write("".join(out))
     print("wrote PLANS.md")
     spark.stop()
