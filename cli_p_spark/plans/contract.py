@@ -936,10 +936,9 @@ def doc_quality_composite(spark, sf_dir):
     )
 
 
-QUALITY_COMPOSITE_SQL = """
-SELECT source, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n_docs FROM (
-  SELECT source,
-         ROUND((COALESCE(length(regexp_replace(text,'[^a-zA-Z]','','g'))
+# quality_score's SQL twin as an expression fragment (reused by the
+# curation oracle)
+_QUALITY_Q_EXPR = """ROUND((COALESCE(length(regexp_replace(text,'[^a-zA-Z]','','g'))
                          / NULLIF(length(text),0), 0.0)
                 + CASE WHEN (length(text) - len(string_split(text,' ')) + 1)
                             / NULLIF(len(string_split(text,' ')),0)
@@ -949,7 +948,11 @@ SELECT source, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n_docs FROM (
                           + (len(string_split(' '||lower(text)||' ',' of '))-1)
                           + (len(string_split(' '||lower(text)||' ',' to '))-1)
                           + (len(string_split(' '||lower(text)||' ',' a '))-1)
-                       > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 6) AS q
+                       > 0 THEN 1.0 ELSE 0.0 END) / 3.0, 6)"""
+
+QUALITY_COMPOSITE_SQL = f"""
+SELECT source, ROUND(AVG(q), 4) AS avg_quality, COUNT(*) AS n_docs FROM (
+  SELECT source, {_QUALITY_Q_EXPR} AS q
   FROM documents)
 GROUP BY source
 """
@@ -1412,16 +1415,51 @@ FROM ranked WHERE rn = 1 AND score >= 0.4
 def curate_training_corpus(spark, sf_dir):
     """End-to-end curation over the driver documents table: quality floor
     + exact dedup + MinHash near-dup dedup; returns per-stage survivor
-    counts (the data-loss audit).  UDF-hash based -> rows-only check;
-    gated by tests/test_curate.py vs exact Python oracles."""
+    counts (the data-loss audit).  The near-dup PAIRS are staged, so the
+    DuckDB twin replays every stage in SQL — quality expression, distinct
+    normalized text, and connected-components keep-min over the same
+    pairs — and must land on the same five counts."""
     from .curate import curate
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    _, counts = curate(d, min_quality=0.2, jaccard_threshold=0.5)
+    _, counts, pairs = curate(
+        d, min_quality=0.2, jaccard_threshold=0.5, return_pairs=True
+    )
+    _stage(pairs.select("src", "dst"), "curate_pairs")
     rows = [(k, v) for k, v in counts.items()]
     return spark.createDataFrame(rows, "stage string, n_rows long")
+
+
+def _curate_sql() -> str:
+    return f"""
+WITH RECURSIVE
+q AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+  WHERE {_QUALITY_Q_EXPR} >= 0.2),
+ex AS (
+  SELECT MIN(id) AS id
+  FROM q GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+ed AS (SELECT * FROM {_staged_sql('curate_pairs')}),
+sym AS (SELECT src AS a, dst AS b FROM ed
+        UNION SELECT dst, src FROM ed),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+comp AS (
+  SELECT node,
+         CASE WHEN MIN(r) < node THEN MIN(r) ELSE node END AS cid
+  FROM reach GROUP BY node)
+SELECT 'input' AS stage, COUNT(*) AS n_rows FROM documents
+UNION ALL SELECT 'quality_pass', COUNT(*) FROM q
+UNION ALL SELECT 'lang_pass', COUNT(*) FROM q
+UNION ALL SELECT 'exact_unique', COUNT(*) FROM ex
+UNION ALL SELECT 'neardup_unique',
+  (SELECT COUNT(*) FROM ex)
+  - (SELECT COUNT(*) FROM comp WHERE cid <> node)
+"""
 
 
 def kg_triples_exact(spark, sf_dir):
@@ -1756,6 +1794,7 @@ ORACLES: dict[str, str] = {
     "events_json_extract": JSON_SQL,
     "cube_orders_status_priority": CUBE_SQL,
     "range_join_ship_lag": RANGE_JOIN_SQL,
+    "curate_training_corpus": _curate_sql(),
     "minhash_dedup_pairs": _minhash_sql(),
     "simhash_dedup_pairs": _simhash_sql(),
     "doc_winnow_neardup": WINNOW_SQL,
@@ -1763,10 +1802,8 @@ ORACLES: dict[str, str] = {
     "kg_skips_quarantine": KG_SKIPS_SQL,
     "kg_triples_ann": KG_ANN_SQL,
     "kg_canonical_triples": KG_CANONICAL_SQL,
-    # rows-only: media_* (binary fixtures, no SQL twin),
-    # curate_training_corpus (multi-stage counts; gated by
-    # tests/test_curate.py vs exact Python oracles), kg_span_roundtrip
-    # (itself an invariant query).  The staged-parquet oracles above are
+    # rows-only: media_* (binary fixtures, no SQL twin) and
+    # kg_span_roundtrip (itself an invariant query).  The staged-parquet oracles above are
     # written by the Spark query, then DuckDB re-derives the result from
     # the same bytes.
 }

@@ -30,7 +30,8 @@ def curate(
     min_quality: float = 0.34,
     keep_langs: tuple[str, ...] | None = None,
     jaccard_threshold: float = 0.7,
-) -> tuple[DataFrame, dict[str, int]]:
+    return_pairs: bool = False,
+) -> tuple:
     """Returns (curated_df, stage_counts).
 
     stage_counts: input -> quality_pass -> lang_pass -> exact_unique ->
@@ -92,4 +93,8 @@ def curate(
     counts["neardup_unique"] = curated.count()
     # ided stays cached: the returned frame reads through it; callers
     # that persist/write `curated` may unpersist afterwards
+    if return_pairs:
+        # expose the near-dup pair set (audit / oracle replay of the
+        # CC + keep-min resolution over the same pairs)
+        return curated, counts, pairs
     return curated, counts
