@@ -46,6 +46,10 @@ SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "500000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+RUN_CANON = os.environ.get("SPARK_GRAFT_CANON", "1") != "0"
+CANON_MENTIONS = int(
+    os.environ.get("SPARK_GRAFT_CANON_MENTIONS", "1000000")
+)
 N_ENTITIES = 2000
 
 HEADLINE = [
@@ -168,6 +172,87 @@ def _collect_scale_level(proc, cores: int, n_docs: int) -> dict:
     }
 
 
+def _q1_double(spark, sf_dir):
+    """q1 with raw double sums (the pre-round-2 arithmetic) — the
+    contrast measurement for the decimal-aggregation cost."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                3,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _canon_job(spark, n_mentions: int) -> tuple[float, dict]:
+    """Sharded canonicalization at bench scale (SCALE.md stage 3): banded
+    sign-LSH pairs per entity-neighborhood shard (group_col) over a
+    corpus with planted near-dup cliques + one exact-copy hub, then
+    salted connected components.  Returns (wall_s, evidence dict) —
+    edges/s and CC rounds are the cliff-closure numbers."""
+    import tempfile
+
+    from cli_p_spark.fixtures.distributed import distributed_mentions
+    from cli_p_spark.operators.ccomp import connected_components
+    from cli_p_spark.operators.lsh import (
+        hyperplane_lsh_pairs,
+        lsh_params_for_tau,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"kg_mentions_{n_mentions}_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, base, True)
+    path = base + "/mentions"
+    distributed_mentions(spark, n_mentions).write.mode("overwrite").parquet(
+        path
+    )
+    m = spark.read.parquet(path)
+    bits, bands = lsh_params_for_tau(0.95)
+
+    t0 = time.time()
+    pairs = hyperplane_lsh_pairs(
+        m, "embedding", "mention_id", tau=0.95, dim=64,
+        bits_per_band=bits, bands=bands, group_col="grp",
+    ).persist()
+    n_edges = pairs.count()
+    t_pairs = time.time() - t0
+
+    t0 = time.time()
+    stats: dict = {}
+    comps = connected_components(pairs.select("src", "dst"), stats=stats)
+    n_components = comps.select("component").distinct().count()
+    t_cc = time.time() - t0
+    pairs.unpersist()
+
+    wall = t_pairs + t_cc
+    return round(wall, 3), {
+        "n_mentions": n_mentions,
+        "n_edges": n_edges,
+        "n_components": n_components,
+        "pairs_s": round(t_pairs, 3),
+        "cc_s": round(t_cc, 3),
+        "cc_rounds": stats.get("rounds"),
+        "edges_per_s": round(n_edges / t_pairs, 1),
+        "mentions_per_s": round(n_mentions / wall, 1),
+        "lsh_bits_bands": [bits, bands],
+    }
+
+
 def main():
     from cli_p_spark.fixtures.generate import make_entities
     from cli_p_spark.plans.contract import QUERIES
@@ -189,6 +274,14 @@ def main():
         fn(spark, SF_DIR).collect()
         results[name] = round(time.time() - t0, 3)
 
+    # decimal-aggregation cost probe: q1 with raw double sums on the same
+    # scan — quantifies what the round-2 decimal hash-exactness trade
+    # costs (recorded as extra, not a headline query).
+    _q1_double(spark, SF_DIR).collect()
+    t0 = time.time()
+    _q1_double(spark, SF_DIR).collect()
+    extra["q1_double_sec"] = round(time.time() - t0, 3)
+
     _kg_job(spark, ents_pdf, 2000, CPUS)  # warm python workers
     wall, n_triples = _kg_job(spark, ents_pdf, N_DOCS, CPUS)
     wall = min(wall, _kg_job(spark, ents_pdf, N_DOCS, CPUS)[0])  # min of 2
@@ -196,6 +289,11 @@ def main():
     extra["kg_docs_per_s"] = round(N_DOCS / wall, 1)
     extra["kg_n_docs"] = N_DOCS
     extra["kg_n_triples"] = n_triples
+
+    if RUN_CANON:
+        results["canon_pipeline"], extra["canon"] = _canon_job(
+            spark, CANON_MENTIONS
+        )
     spark.stop()
 
     # --- scaling evidence: same KG job, same input, N vs 4N cores,

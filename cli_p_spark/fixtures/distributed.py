@@ -81,3 +81,78 @@ def distributed_documents(
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
     rng_df = spark.range(0, n_docs, numPartitions=parts)
     return rng_df.mapInPandas(gen, schema=SPANS_SCHEMA)
+
+
+def distributed_mentions(
+    spark,
+    n_mentions: int,
+    dim: int = 64,
+    n_groups: int = 256,
+    cluster_w: int = 4,
+    dup_frac: float = 0.3,
+    hub_copies: int = 20_000,
+    jitter: float = 0.02,
+    seed: int = SEED,
+    partitions: int | None = None,
+):
+    """mentions(mention_id string, grp int, embedding array<float>) for
+    the sharded-canonicalization benchmark — deterministic in
+    (seed, mention id), any partitioning.
+
+    Structure: ids [0, hub_copies) are EXACT copies of ONE hub vector
+    (the 10^9-copy boilerplate regime: identical vectors collide in
+    every band, the bucket blows past max_bucket, and the LSH star cap
+    + salted CC min-agg must keep the component linear).  Remaining
+    ids form
+    ``cluster_w``-sized clusters; a ``dup_frac`` fraction of clusters
+    are true near-dup cliques (members = base + jitter), the rest get
+    independent random vectors (no pairs).  ``grp`` is the entity-
+    neighborhood shard (SCALE.md stage-3 sharding): cluster-aligned, so
+    within-group banding loses no true pairs."""
+    bc = spark.sparkContext.broadcast((dim, n_groups, cluster_w, dup_frac,
+                                       hub_copies, jitter, seed))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d_, ng_, cw_, df_, hub_, jit_, seed_ = bc.value
+        hub_base = np.random.default_rng(
+            (seed_ << 32) ^ 0x4B1D
+        ).standard_normal(d_)
+        cluster_base: dict[int, tuple[bool, np.ndarray]] = {}
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = np.empty((len(ids), d_), dtype=np.float64)
+            grps = np.empty(len(ids), dtype=np.int32)
+            for j, m in enumerate(ids):
+                m = int(m)
+                mrng = np.random.default_rng((seed_ << 32) ^ (m * 2 + 1))
+                if m < hub_:
+                    grps[j] = 0
+                    vecs[j] = hub_base / np.linalg.norm(hub_base)
+                    continue
+                else:
+                    c = m // cw_
+                    if c not in cluster_base:
+                        crng = np.random.default_rng(
+                            (seed_ << 32) ^ (c * 2654435761)
+                        )
+                        cluster_base[c] = (
+                            crng.random() < df_, crng.standard_normal(d_)
+                        )
+                        if len(cluster_base) > 100_000:
+                            cluster_base.clear()  # bound worker memory
+                    is_dup, base = cluster_base[c]
+                    grps[j] = c % ng_
+                v = base + jit_ * mrng.standard_normal(d_) if is_dup \
+                    else mrng.standard_normal(d_)
+                vecs[j] = v / np.linalg.norm(v)
+            yield pd.DataFrame({
+                "mention_id": [f"m{int(m):09d}" for m in ids],
+                "grp": grps,
+                "embedding": list(vecs.astype(np.float32)),
+            })
+
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    rng_df = spark.range(0, n_mentions, numPartitions=parts)
+    return rng_df.mapInPandas(
+        gen, schema="mention_id string, grp int, embedding array<float>"
+    )

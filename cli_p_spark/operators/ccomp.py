@@ -96,6 +96,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     checkpoint: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
 
@@ -103,7 +104,9 @@ def connected_components(
     Deterministic: component ids are min string/numeric ids, independent
     of partitioning.  ``checkpoint``: 'auto' (reliable iff
     sc.setCheckpointDir was called — the cluster deployment), 'reliable',
-    or 'local'.
+    or 'local'.  ``stats``: optional dict that receives
+    {'rounds': n} — bench evidence that the alternating stars converged
+    in the expected O(log^2 n) rounds.
     """
     e = _checkpointer(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -112,7 +115,7 @@ def connected_components(
         checkpoint,
     )
     converged = False
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         e2 = _checkpointer(
             _small_star(_large_star(e, salt_buckets), salt_buckets),
             checkpoint,
@@ -124,6 +127,8 @@ def connected_components(
         e = e2
         if changed == 0:
             converged = True
+            if stats is not None:
+                stats["rounds"] = rounds
             break
     if not converged:
         # a non-star edge set would silently emit MULTIPLE component ids

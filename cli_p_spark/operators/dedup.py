@@ -128,13 +128,19 @@ def minhash_lsh_pairs(
     fixed-width column compare, scale-friendly)."""
     # persist: the shingle-explode + 64-way min agg is the dominant cost
     # and lsh_pairs_from_signatures consumes sig in FOUR plan branches
-    # (banding, bucket sizes, and the two verification re-attach joins)
+    # (banding, bucket sizes, and the two verification re-attach joins).
+    # The persisted table rides on the returned frame as
+    # `.signature_cache`: callers MUST unpersist it once the pair plan
+    # has been materialized (curate() does), or the signature blocks pin
+    # executor storage for the session lifetime.
     sig = minhash_signatures(df, content_col, id_col, n_hashes, shingle_w,
                              seed).persist()
-    return lsh_pairs_from_signatures(
+    out = lsh_pairs_from_signatures(
         sig, n_hashes=n_hashes, bands=bands,
         jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
     )
+    out.signature_cache = sig
+    return out
 
 
 def lsh_pairs_from_signatures(
@@ -457,30 +463,41 @@ def embedding_neardup_pairs(
     nlist: int = 100,
     nprobe: int = 32,
     seed: int = SEED,
-    strategy: str = "ivf",
+    strategy: str = "auto",
 ) -> DataFrame:
     """ALL cosine near-duplicate pairs (src, dst, cosine) with
     cosine >= tau (no top-k cap: a vector with many near-dups reports
     every one — the round-1 k cap silently missed pairs beyond the k-th
     neighbor, a latent contract failure vs the all-pairs oracle).
 
+    strategy='auto' (default): route by tau.  At tau >= 0.8 the banded
+    sign-LSH path is sub-quadratic (candidates ~ n^2 * 2^-bits per band
+    for unrelated pairs) with bands sized by lsh_params_for_tau for
+    >= 0.99 per-pair recall — the right default for a 10^12-doc near-dup
+    dedup.  Below 0.8 sign-LSH recall per band decays too fast, and an
+    all-pairs-above-tau result is inherently candidate-heavy, so the
+    exact IVF path keeps its completeness guarantee.
     strategy='ivf': fully distributed IVF bucket self-join — executor-
     side sampled centroid training, probe-cell explode, ids-only
     candidate join, exact cosine verify.  No driver collect anywhere
     (the round-1 toPandas() of the whole vector set is gone); candidate
-    volume is the probe overlap (~nprobe/nlist of all pairs), AQE skew
-    join splits hot cells.  nprobe=nlist degenerates to the exact
-    all-pairs result.
+    volume is the probe overlap (~nprobe/nlist of all pairs — quadratic
+    ORDER, exhaustive/oracle tool), AQE skew join splits hot cells.
+    nprobe=nlist degenerates to the exact all-pairs result.
     strategy='lsh': banded sign-LSH (operators/lsh.py) — the
     sub-quadratic path for tau near 1 at corpus scale.
     """
+    if strategy == "auto":
+        strategy = "lsh" if tau >= 0.8 else "ivf"
     if strategy == "lsh":
-        from .lsh import hyperplane_lsh_pairs
+        from .lsh import hyperplane_lsh_pairs, lsh_params_for_tau
 
+        bits, bands = lsh_params_for_tau(tau)
         dim = len(df.select(embedding_col).first()[0])
         unit = _unit_vectors(df, embedding_col, id_col)
         return hyperplane_lsh_pairs(
-            unit, "_emb", "_nid", tau=tau, dim=dim, seed=seed
+            unit, "_emb", "_nid", tau=tau, dim=dim, seed=seed,
+            bits_per_band=bits, bands=bands,
         )
 
     from .ann import add_bucket, add_probes, train_centroids_distributed

@@ -39,6 +39,45 @@ from ..config import SEED
 from .link import cosine_expr
 
 
+def lsh_params_for_tau(
+    tau: float,
+    target_recall: float = 0.99,
+    max_bands: int = 64,
+) -> tuple[int, int]:
+    """(bits_per_band, bands) sized for a recall target at ``tau``.
+
+    Sign-LSH per-plane collision probability for a pair at cosine tau is
+    p1 = 1 - acos(tau)/pi (Charikar'02); a band of b bits collides with
+    p1^b and recall over k bands is 1-(1-p1^b)^k.  Longer bands mean
+    fewer random candidates (2^-bits per band for cos~0 pairs) but need
+    more bands for the same recall — so pick the LONGEST band width whose
+    band count stays under ``max_bands``:
+
+        tau=0.95 -> (16, 23)   tau=0.90 -> (16, 53)
+        tau=0.85 -> (12, 46)   tau=0.80 -> (10, 44)
+
+    Below tau~0.75 no width fits and the widest-feasible fallback keeps
+    recall at the cost of candidate volume — at that point an IVF-style
+    search (operators/ann.py) is the better tool; callers like
+    embedding_neardup_pairs(strategy='auto') route there instead."""
+    import math
+
+    p1 = 1.0 - math.acos(max(-1.0, min(1.0, tau))) / math.pi
+    best = None
+    for bits in (16, 14, 12, 10, 8, 6, 4):
+        p_band = p1 ** bits
+        if p_band >= 1.0:  # tau == 1
+            return bits, 1
+        bands = math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - p_band)
+        )
+        if best is None:
+            best = (bits, min(bands, max_bands))  # widest as fallback
+        if bands <= max_bands:
+            return bits, bands
+    return best
+
+
 def hyperplane_lsh_pairs(
     df: DataFrame,
     embedding_col: str,
@@ -58,12 +97,15 @@ def hyperplane_lsh_pairs(
     quadratic pairing is capped there.  ``oversize`` picks what happens
     above the cap:
     - 'star' (default): each oversized bucket emits only (bucket-min,
-      member) candidates — LINEAR in bucket size, and exactly enough
-      connectivity for the downstream connected components to collapse
-      the bucket into one cluster (degenerate buckets are mass near-
-      duplicates, so the star edges pass the cosine verify).  This is
-      the SCALE.md "sample-representative for degenerate components"
-      device: a 10^9-copy boilerplate page costs 10^9 edges, not 10^18.
+      member) candidates — LINEAR in bucket size.  Star candidates still
+      pass through the cosine verify, so downstream connected components
+      collapse the bucket into one cluster only for members that score
+      >= tau against the bucket-min member (the common degenerate case —
+      mass COPIES — verifies at cosine ~1.0 and stays fully connected;
+      a mixed oversized bucket keeps only its true near-dup star edges,
+      by design).  This is the SCALE.md "sample-representative for
+      degenerate components" device: a 10^9-copy boilerplate page costs
+      10^9 edges, not 10^18.
     - 'drop': oversized buckets generate nothing (route such content
       through exact dedup first).
 

@@ -95,6 +95,9 @@ def curate(
     # that persist/write `curated` may unpersist afterwards
     if return_pairs:
         # expose the near-dup pair set (audit / oracle replay of the
-        # CC + keep-min resolution over the same pairs)
+        # CC + keep-min resolution over the same pairs).  The signature
+        # cache rides along — the caller unpersists after consuming
+        # `pairs` (re-reads after that recompute, still correct).
         return curated, counts, pairs
+    pairs.signature_cache.unpersist()
     return curated, counts

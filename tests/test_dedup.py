@@ -127,7 +127,8 @@ def test_embedding_neardup(spark):
         rows.append((i * 2 + 1, (jitter / np.linalg.norm(jitter)).tolist()))
     df = spark.createDataFrame(rows, "vid long, embedding array<float>")
     pairs = embedding_neardup_pairs(
-        df, "embedding", "vid", tau=0.98, nlist=8, nprobe=8
+        df, "embedding", "vid", tau=0.98, nlist=8, nprobe=8,
+        strategy="ivf",  # exhaustive/oracle path under test
     ).collect()
     got = {(r["src"], r["dst"]) for r in pairs}
     expected = {(str(i * 2), str(i * 2 + 1)) for i in range(40)}
@@ -155,3 +156,41 @@ def test_keep_representatives(spark, neardup_df):
         if _jaccard(texts[a], texts[b]) >= 0.6
     }
     assert kept_ids == set(texts) - clustered
+
+def test_neardup_auto_strategy_routing(spark):
+    """strategy='auto' must pick the sub-quadratic LSH plan at high tau
+    (the 10^12-doc dedup regime) and the exact IVF plan at low tau —
+    checked structurally on the analyzed plan: the LSH path bands on
+    (_band, _key); the IVF path explodes probe cells."""
+    from cli_p_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((20, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, emb[i].tolist()) for i in range(20)],
+        "vid long, embedding array<float>",
+    )
+
+    def plan(pairs):
+        return pairs._jdf.queryExecution().analyzed().toString()
+
+    hi = plan(embedding_neardup_pairs(df, "embedding", "vid", tau=0.9))
+    assert "_band" in hi and "probes" not in hi
+    lo = plan(embedding_neardup_pairs(df, "embedding", "vid", tau=0.5))
+    assert "probes" in lo and "_band" not in lo
+
+
+def test_lsh_params_for_tau():
+    """Band sizing hits the recall target and stays sub-quadratic."""
+    import math
+
+    from cli_p_spark.operators.lsh import lsh_params_for_tau
+
+    for tau in (0.8, 0.85, 0.9, 0.95, 0.99):
+        bits, bands = lsh_params_for_tau(tau, target_recall=0.99)
+        p1 = 1.0 - math.acos(tau) / math.pi
+        recall = 1.0 - (1.0 - p1 ** bits) ** bands
+        assert recall >= 0.99, (tau, bits, bands, recall)
+        # random (cos~0) pair expected candidate rate stays tiny
+        assert bands * 2.0 ** -bits < 0.05, (tau, bits, bands)
+    assert lsh_params_for_tau(1.0)[1] == 1
