@@ -18,11 +18,13 @@ M table lookups.  Two scan strategies, both bounded-memory:
   (the round-1 dense-scores cliff: 80 GB per batch at E=10^7).
 - IVF-PQ (``centroids`` given): codes stored cell-grouped (CSR, like
   faiss IndexIVFPQ's inverted lists); queries probe nprobe cells and
-  only those cells' codes are gathered — nprobe prunes compute.  We PQ
-  the raw vectors, not faiss's residual-to-centroid refinement: the
-  exact full-precision rescore downstream makes preselect recall the
-  only quality knob, and the P/R gate in tests/test_pq.py holds without
-  residual coding.
+  only those cells' codes are gathered — nprobe prunes compute.  By
+  default we PQ the raw vectors; ``residual=True`` switches to faiss
+  IndexIVFPQ's actual refinement — encode r = x - centroid(x) and score
+  q·x = q·centroid + LUT(q)·codes(r) (the q·centroid term falls out of
+  the probe GEMM for free).  Residuals are much smaller than the
+  vectors, so the same 256-way codebooks quantize them finer — the knob
+  that buys preselect recall at tight kc (gated in tests/test_pq.py).
 
 The top-kc preselected candidates are then rescored EXACTLY against the
 full-precision entity table via an equi-join (the vectors never need to
@@ -133,6 +135,23 @@ def train_opq(
     return R, books
 
 
+def train_pq_residual(
+    X: np.ndarray, centroids: np.ndarray, m_subspaces: int = 8,
+    n_codes: int = 256, iters: int = 10, seed: int = SEED,
+    max_train: int = 50_000,
+) -> np.ndarray:
+    """Codebooks trained on RESIDUALS to the coarse IVF centroid
+    (faiss IndexIVFPQ, Jégou'11 §A): r = x - c(x) with c(x) the
+    inner-product-nearest centroid — the same assignment rule
+    build_pq_broadcast_value uses, so encode-time residuals come from
+    the identical cells."""
+    X = np.asarray(X, dtype=np.float64)
+    assign = np.argmax(X @ np.asarray(centroids, dtype=np.float64).T, axis=1)
+    res = X - np.asarray(centroids, dtype=np.float64)[assign]
+    return train_pq(res, m_subspaces, n_codes, iters=iters, seed=seed,
+                    max_train=max_train)
+
+
 def pq_encode(X: np.ndarray, books: np.ndarray,
               block: int = 65_536) -> np.ndarray:
     """codes [n, M] uint8: nearest subspace centroid per block.
@@ -190,7 +209,8 @@ class _PqIndex:
     BLOCK = 1024          # query rows per kernel block
     CODE_BLOCK = 65_536   # flat-scan code rows per block
 
-    def __init__(self, eids, gcodes, perm, cell_ptr, CT, books, R=None):
+    def __init__(self, eids, gcodes, perm, cell_ptr, CT, books, R=None,
+                 residual=False):
         self.eids = eids
         self.gcodes = gcodes
         self.perm = perm
@@ -198,6 +218,7 @@ class _PqIndex:
         self.CT = CT
         self.books = books
         self.R = R  # optional OPQ rotation; codes were built on emat @ R
+        self.residual = residual  # codes quantize x - centroid(x)
         self.stats = {"max_score_cols": 0}
 
     _cached: "_PqIndex | None" = None
@@ -243,11 +264,19 @@ class _PqIndex:
         best_sc = np.full((n, kc), -np.inf, dtype=np.float32)
         best_ix = np.zeros((n, kc), dtype=np.int64)
         n_cells = 0 if self.cell_ptr is None else len(self.cell_ptr) - 1
-        if n_cells and 0 < nprobe < n_cells:
+        if self.residual and not n_cells:
+            raise ValueError("residual PQ codes require an IVF cell layout")
+        if self.residual:
+            # residual decomposition needs the per-cell q.centroid term
+            # even at exhaustive probing — always take the cell path
+            nprobe = n_cells if not 0 < nprobe <= n_cells else nprobe
+        if n_cells and (0 < nprobe < n_cells or self.residual):
             # IVF-PQ: gather only probed cells' codes (cell probing is in
             # the RAW space — centroids are trained on unrotated vectors)
             cs = Q64 @ self.CT
-            probe = np.argpartition(-cs, nprobe - 1, axis=1)[:, :nprobe]
+            probe = np.argpartition(
+                -cs, min(nprobe - 1, n_cells - 1), axis=1
+            )[:, :nprobe]
             flat_rows = np.repeat(np.arange(n), nprobe)
             flat_cells = probe.ravel()
             order = np.argsort(flat_cells, kind="stable")
@@ -260,6 +289,10 @@ class _PqIndex:
                     continue
                 rows = fr[bounds[ci]:bounds[ci + 1]]
                 S = _lut_scores(lut[rows], self.gcodes[s:e])
+                if self.residual:
+                    # q.x = q.centroid_c + q.residual: add the coarse
+                    # term (already computed by the probe GEMM)
+                    S = S + cs[rows, c][:, None].astype(np.float32)
                 self._track(kc + (e - s))
                 sc, ix = _merge_topk(
                     best_sc[rows], best_ix[rows], S, self.perm[s:e], kc
@@ -285,19 +318,33 @@ def build_pq_broadcast_value(
     books: np.ndarray,
     centroids: np.ndarray | None = None,
     rotation: np.ndarray | None = None,
+    residual: bool = False,
 ):
     """Broadcast payload for _PqIndex.  With ``centroids``, codes are
     grouped by IVF cell (IndexIVFPQ); without, identity layout.  With
     ``rotation`` (train_opq), codes quantize the rotated vectors
-    (IndexPreTransform+OPQMatrix shape) — 1 MB extra broadcast."""
+    (IndexPreTransform+OPQMatrix shape) — 1 MB extra broadcast.  With
+    ``residual`` (books from train_pq_residual), codes quantize
+    x - centroid(x) (IndexIVFPQ's by_residual refinement; requires
+    ``centroids``, mutually exclusive with ``rotation``)."""
     eids, emat = _entity_arrays(entities_pdf)
-    enc = emat @ rotation if rotation is not None else emat
-    codes = pq_encode(enc, books)
+    if residual:
+        if centroids is None:
+            raise ValueError("residual coding requires IVF centroids")
+        if rotation is not None:
+            raise ValueError("residual and OPQ rotation are exclusive here")
     if centroids is None:
+        codes = pq_encode(
+            emat @ rotation if rotation is not None else emat, books
+        )
         perm = np.arange(len(eids), dtype=np.int64)
-        return (eids, codes, perm, None, None, books, rotation)
+        return (eids, codes, perm, None, None, books, rotation, False)
     n_cells = len(centroids)
     assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
+    enc = emat - centroids[assign] if residual else (
+        emat @ rotation if rotation is not None else emat
+    )
+    codes = pq_encode(enc, books)
     perm = np.argsort(assign, kind="stable").astype(np.int64)
     counts = np.bincount(assign, minlength=n_cells)
     cell_ptr = np.zeros(n_cells + 1, dtype=np.int64)
@@ -310,6 +357,7 @@ def build_pq_broadcast_value(
         np.ascontiguousarray(centroids.T),
         books,
         rotation,
+        residual,
     )
 
 
@@ -323,6 +371,7 @@ def link_pq(
     kc: int = 32,
     centroids: np.ndarray | None = None,
     rotation: np.ndarray | None = None,
+    residual: bool = False,
     nprobe: int = 32,
     mention_keys: tuple[str, ...] = ("doc_id", "span_idx"),
     carry_cols: tuple[str, ...] = ("kind",),
@@ -337,7 +386,9 @@ def link_pq(
     """
     spark = mentions.sparkSession
     bc = spark.sparkContext.broadcast(
-        build_pq_broadcast_value(entities_pdf, books, centroids, rotation)
+        build_pq_broadcast_value(
+            entities_pdf, books, centroids, rotation, residual
+        )
     )
 
     keys = list(mention_keys)

@@ -133,3 +133,58 @@ def test_oversized_bucket_star_keeps_connectivity(spark):
         max_bucket=10, oversize="drop",
     )
     assert dropped.filter("src LIKE 'dup%'").count() == 0
+
+
+def test_sharded_canonicalization_end_to_end(spark):
+    """Bench-shape gate at test scale: distributed mention corpus
+    (planted 4-cliques + an exact-copy hub) -> per-shard banded LSH ->
+    salted CC.  The hub must collapse to ONE component via star edges
+    (linear, not quadratic), planted cliques must canonicalize, and CC
+    must converge in the expected few rounds."""
+    from cli_p_spark.fixtures.distributed import distributed_mentions
+    from cli_p_spark.operators.ccomp import connected_components
+    from cli_p_spark.operators.lsh import (
+        hyperplane_lsh_pairs,
+        lsh_params_for_tau,
+    )
+
+    n, hub = 4000, 600
+    m = distributed_mentions(spark, n, hub_copies=hub).persist()
+    bits, bands = lsh_params_for_tau(0.95)
+    pairs = hyperplane_lsh_pairs(
+        m, "embedding", "mention_id", tau=0.95, dim=64,
+        bits_per_band=bits, bands=bands, group_col="grp",
+        max_bucket=200,
+    ).persist()
+    n_edges = pairs.count()
+    # the 600-copy hub exceeds max_bucket in every band -> star edges,
+    # LINEAR in hub size (quadratic would be ~180k for the hub alone)
+    assert n_edges < hub * 3 + n * 2, n_edges
+    stats = {}
+    comps = connected_components(pairs.select("src", "dst"), stats=stats)
+    sizes = {
+        r["component"]: r["count"]
+        for r in comps.groupBy("component").count().collect()
+    }
+    assert sizes.get("m000000000") == hub  # hub: one component, all copies
+    assert stats["rounds"] <= 6
+    # planted cliques: cluster of ids [c*4, c*4+4) is a component iff its
+    # seeded coin said dup; spot-check determinism of a few clusters
+    import numpy as np
+    from cli_p_spark.config import SEED
+
+    comp_of = {
+        r["node"]: r["component"] for r in comps.collect()
+    }
+    for c in range(hub // 4 + 1, hub // 4 + 40):
+        is_dup = np.random.default_rng(
+            (SEED << 32) ^ (c * 2654435761)
+        ).random() < 0.3
+        members = [f"m{c * 4 + i:09d}" for i in range(4)]
+        if is_dup:
+            roots = {comp_of[x] for x in members}
+            assert roots == {members[0]}, (c, roots)
+        else:
+            assert all(x not in comp_of or comp_of[x] == x
+                       for x in members), c
+    m.unpersist(); pairs.unpersist()

@@ -187,3 +187,79 @@ def test_opq_linking_pr_gate(spark):
     golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
     p, r = precision_recall(got, golden)
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_residual_ivfpq_beats_raw_on_clustered_data():
+    """Residual coding (faiss IndexIVFPQ by_residual) must cut
+    quantization error and lift preselect recall on cell-clustered data
+    — the regime where raw-vector PQ is weakest (all codewords spent on
+    global structure the coarse quantizer already captured)."""
+    import pandas as pd
+
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.pq import pq_decode, train_pq_residual
+
+    rng = np.random.default_rng(7)
+    E, dim, nlist = 20_000, 64, 128
+    centers = rng.standard_normal((200, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = centers[rng.integers(0, 200, E)] + 0.1 * rng.standard_normal((E, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = X.astype(np.float32)
+    Q = centers[rng.integers(0, 200, 400)] \
+        + 0.1 * rng.standard_normal((400, dim))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+
+    C = train_centroids(X.astype(np.float64), nlist=nlist, seed=17)
+    books_raw = train_pq(X, m_subspaces=4, max_train=20_000)
+    books_res = train_pq_residual(X, C, m_subspaces=4, max_train=20_000)
+
+    assign = np.argmax(X.astype(np.float64) @ C.T, axis=1)
+    res = X - C[assign]
+    err_raw = np.linalg.norm(X - pq_decode(pq_encode(X, books_raw),
+                                           books_raw))
+    err_res = np.linalg.norm(res - pq_decode(pq_encode(res, books_res),
+                                             books_res))
+    assert err_res < err_raw, (err_res, err_raw)
+
+    pdf = pd.DataFrame(
+        {"entity_id": [f"e{i:06d}" for i in range(E)], "embedding": list(X)}
+    )
+    pay_raw = build_pq_broadcast_value(pdf, books_raw, centroids=C)
+    pay_res = build_pq_broadcast_value(pdf, books_res, centroids=C,
+                                       residual=True)
+    true_top1 = (Q @ X.T).argmax(1)
+
+    def recall(pay, kc=8, nprobe=16):
+        cand = _PqIndex(*pay).preselect(Q, kc, nprobe)
+        return float(np.mean([t in c for t, c in zip(true_top1, cand)]))
+
+    r_raw, r_res = recall(pay_raw), recall(pay_res)
+    # measured: raw 0.158, res 0.295 — require a real margin, not a tie
+    assert r_res > r_raw * 1.3, (r_raw, r_res)
+
+
+def test_residual_ivfpq_linking_pr_gate_tight_kc(spark):
+    """Residual IVF-PQ holds P/R >= 0.95 at kc=8 — 4x tighter preselect
+    than the raw-PQ gate's kc=32 (the recall headroom residual coding
+    buys; VERDICT r2 item 8)."""
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.pq import train_pq_residual
+
+    cfg = PipelineConfig()
+    docs_pdf, ents_pdf = corpus(n_docs=150, n_entities=1000)
+    docs = documents_to_spark(spark, docs_pdf)
+    emat = np.stack(ents_pdf["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+    books = train_pq_residual(emat, centroids, m_subspaces=8)
+    ok, _ = split_skips(encode_mentions(explode_spans(docs), cfg))
+    mentions = ok.select("doc_id", "span_idx", "kind", "embedding")
+    entities = entities_to_spark(spark, ents_pdf)
+    links = link_pq(
+        mentions, entities, ents_pdf, books, k=cfg.k, tau=cfg.tau, kc=8,
+        centroids=centroids, residual=True, nprobe=32,
+    )
+    got = triples_from_links(links).toPandas()
+    golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
+    p, r = precision_recall(got, golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)

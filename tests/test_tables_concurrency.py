@@ -69,3 +69,47 @@ def test_concurrent_append_and_read_no_corruption(spark, tmp_path):
         for r in store.read("events").collect()
     }
     assert len(got) == 2 * N_APPENDS * BATCH
+
+
+def test_catalog_branch_executes_v2_writes(spark, tmp_path):
+    """Execute the TableStore catalog branch (plans/tables.py writeTo
+    path) against a REAL V2 catalog — Spark's bundled JDBC catalog over
+    embedded Derby.  No Iceberg jar ships in this sandbox, so this pins
+    down that the catalog flip routes through DataFrameWriterV2
+    correctly (append, create-on-miss fallback, overwrite, absent-table
+    read); Iceberg adds snapshot semantics on the same calls."""
+    spark.conf.set(
+        "spark.sql.catalog.ts_testcat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc."
+        "JDBCTableCatalog",
+    )
+    spark.conf.set(
+        "spark.sql.catalog.ts_testcat.url",
+        "jdbc:derby:memory:ts_testdb;create=true",
+    )
+    spark.conf.set(
+        "spark.sql.catalog.ts_testcat.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    store = TableStore(spark, str(tmp_path / "db"), catalog="ts_testcat")
+
+    df = spark.range(10).selectExpr("id", "id % 3 AS p")
+    store.append(df, "t_cat")     # create-on-miss: append -> create
+    store.append(df, "t_cat")     # plain V2 append
+    assert store.read("t_cat").count() == 20
+
+    store.overwrite(spark.range(3).selectExpr("id", "id AS p"), "t_cat")
+    assert store.read("t_cat").count() == 3
+
+    assert store.read("t_cat_absent") is None
+
+    # dynamic partition overwrite is a SOURCE capability: the JDBC
+    # source rejects it (Iceberg accepts it) — the call must surface
+    # the capability error from the V2 API, not silently fall back
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="dynamic overwrite|TABLE_OPERATION"):
+        store.overwrite_partitions(
+            spark.range(5).selectExpr("id", "CAST(99 AS BIGINT) AS p"),
+            "t_cat", ("p",),
+        )
