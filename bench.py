@@ -238,6 +238,7 @@ def _canon_job(spark, n_mentions: int) -> tuple[float, dict]:
     n_components = comps.select("component").distinct().count()
     t_cc = time.time() - t0
     pairs.unpersist()
+    pairs.signature_cache.unpersist()
 
     wall = t_pairs + t_cc
     return round(wall, 3), {

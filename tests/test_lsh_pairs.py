@@ -188,3 +188,4 @@ def test_sharded_canonicalization_end_to_end(spark):
             assert all(x not in comp_of or comp_of[x] == x
                        for x in members), c
     m.unpersist(); pairs.unpersist()
+    pairs.signature_cache.unpersist()
