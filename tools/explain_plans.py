@@ -64,6 +64,31 @@ def main():
         "broadcast-index search adds none.\n\n"
         f"```\n{plan}\n```\n"
     )
+    from cli_p_spark.fixtures.distributed import distributed_mentions
+    from cli_p_spark.operators.lsh import (
+        hyperplane_lsh_pairs,
+        lsh_params_for_tau,
+    )
+
+    mentions = distributed_mentions(spark, 2000, hub_copies=200)
+    bits, bands = lsh_params_for_tau(0.95)
+    pairs = hyperplane_lsh_pairs(
+        mentions, "embedding", "mention_id", tau=0.95, dim=64,
+        bits_per_band=bits, bands=bands, group_col="grp",
+    )
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pairs.signature_cache.unpersist()
+    out.append(
+        "\n## sharded_canonicalization_pairs (mentions -> LSH edges)\n\n"
+        "Banded signatures computed ONCE (InMemoryTableScan feeds all\n"
+        "four consumers); the bucket self-join and verify joins carry\n"
+        "ids only; grouping column shards the join key.\n\n"
+        f"```\n{plan}\n```\n"
+    )
     with open(os.path.join(_ROOT, "PLANS.md"), "w") as f:
         f.write("".join(out))
     print("wrote PLANS.md")
