@@ -292,8 +292,11 @@ def main():
     extra["kg_n_triples"] = n_triples
 
     if RUN_CANON:
-        results["canon_pipeline"], extra["canon"] = _canon_job(
-            spark, CANON_MENTIONS
+        # min of 2 (same policy as kg_pipeline): first run pays JIT +
+        # shuffle-service warm-up for this plan shape
+        runs = [_canon_job(spark, CANON_MENTIONS) for _ in range(2)]
+        results["canon_pipeline"], extra["canon"] = min(
+            runs, key=lambda r: r[0]
         )
     spark.stop()
 

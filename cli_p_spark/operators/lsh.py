@@ -39,6 +39,18 @@ from ..config import SEED
 from .link import cosine_expr
 
 
+class _CacheHandle:
+    """unpersist() handle bundling the plan's persisted intermediates
+    (banded signatures + size-tagged signatures)."""
+
+    def __init__(self, *dfs):
+        self._dfs = dfs
+
+    def unpersist(self, blocking: bool = False):
+        for d in self._dfs:
+            d.unpersist(blocking)
+
+
 def lsh_params_for_tau(
     tau: float,
     target_recall: float = 0.99,
@@ -149,9 +161,13 @@ def hyperplane_lsh_pairs(
     join_keys = gcols + ["_band", "_key"]
     # bucket sizes via groupBy+join, NOT a window: a window partition over
     # a degenerate bucket materializes the whole bucket in one task —
-    # the exact skew this guard exists to defuse; groupBy partial-aggs
+    # the exact skew this guard exists to defuse; groupBy partial-aggs.
+    # tagged is persisted too: its four consumers (both self-join sides,
+    # star 'big', star mins) would each recompute the 23M-row sizes
+    # shuffle otherwise (Catalyst has no cross-branch CSE) — the plan
+    # showed the aggregation FOUR times before this cache.
     sizes = sig.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_bn"))
-    tagged = sig.join(sizes, join_keys)
+    tagged = sig.join(sizes, join_keys).persist()
     sized = tagged.filter(F.col("_bn") <= max_bucket)
 
     a = sized.select(F.col("_id").alias("src"), *join_keys)
@@ -181,5 +197,5 @@ def hyperplane_lsh_pairs(
         .filter(F.col("cosine") >= tau)
         .select("src", "dst", "cosine")
     )
-    out.signature_cache = sig
+    out.signature_cache = _CacheHandle(sig, tagged)
     return out
