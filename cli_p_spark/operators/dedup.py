@@ -354,6 +354,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    probe_id_col: str = "probe_id",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/eval decontamination: (doc_id, probe_id, n_overlap,
+    overlap_frac) for every corpus document sharing >= ``min_overlap``
+    distinct word n-grams with an eval-set probe (the GPT-3 §C /
+    Pile-style 13-gram scrub; n configurable).  overlap_frac =
+    n_overlap / |probe n-grams| — 1.0 means the probe is fully
+    contained.
+
+    Scale shape: the PROBE side is small (an eval benchmark, thousands
+    of items) — its exploded n-gram table broadcasts; the corpus side
+    explodes n-grams once and broadcast-joins, so the 10^12-doc scan
+    shuffles only the surviving (doc, probe) hit pairs into the final
+    groupBy.  Pure Catalyst (split/slice/concat_ws/explode), no Python.
+    """
+
+    def grams(df, idc, textc, out):
+        toks = F.split(F.lower(F.col(textc)), " ")
+        return df.select(
+            F.col(idc).alias(out),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("_g"),
+        ).distinct()
+
+    dg = grams(docs, id_col, text_col, "doc_id")
+    pg = grams(probes, probe_id_col, probe_text_col, "probe_id")
+    psizes = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("_pn"))
+    hits = (
+        dg.join(F.broadcast(pg), "_g")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return hits.join(F.broadcast(psizes), "probe_id").select(
+        "doc_id",
+        "probe_id",
+        "n_overlap",
+        (F.col("n_overlap") / F.col("_pn")).alias("overlap_frac"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     content_col: str,

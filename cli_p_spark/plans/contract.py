@@ -1013,6 +1013,53 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.02
 """
 
 
+def doc_contamination_probes(spark, sf_dir):
+    """Train/eval decontamination (GPT-3 §C-style n-gram scrub; 13-grams
+    there, 3-grams here so the synthetic corpus yields a meaningful hit
+    set): every 40th document plays the eval probe; a hit = a corpus doc
+    sharing >= 2 distinct word trigrams with a probe (probe's own doc
+    excluded).  Corpus side scans once; probe n-gram table broadcasts."""
+    from ..operators.dedup import ngram_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    probes = d.filter(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").cast("string").alias("probe_id"), "text"
+    )
+    out = ngram_contamination(docs, probes, n=3, min_overlap=2)
+    return out.filter(F.col("doc_id") != F.col("probe_id")).select(
+        "doc_id", "probe_id", "n_overlap",
+        F.round("overlap_frac", 4).alias("overlap_frac"),
+    )
+
+
+def _contamination_sql(n: int = 3, min_overlap: int = 2,
+                       every: int = 40) -> str:
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS nid,
+         string_split(lower(text), ' ') AS t
+  FROM documents),
+dg AS (
+  SELECT DISTINCT id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS u(i)),
+pg AS (
+  SELECT DISTINCT id AS pid, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - {n - 1}, 1) + 1)) AS u(i)
+  WHERE nid % {every} = 0),
+pn AS (SELECT pid, COUNT(*) AS n FROM pg GROUP BY pid),
+hits AS (
+  SELECT dg.id AS doc_id, pg.pid AS probe_id, COUNT(*) AS n_overlap
+  FROM dg JOIN pg ON dg.g = pg.g
+  GROUP BY dg.id, pg.pid
+  HAVING COUNT(*) >= {min_overlap})
+SELECT doc_id, probe_id, n_overlap,
+       ROUND(n_overlap * 1.0 / pn.n, 4) AS overlap_frac
+FROM hits JOIN pn ON pn.pid = hits.probe_id
+WHERE doc_id <> probe_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup — signature/fingerprint tables are STAGED to parquet by the Spark
 # query, then BOTH engines derive pairs from the same staged bytes: the
@@ -1807,8 +1854,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "left_outer_nation_customers": left_outer_nation_customers,
     "window_running_total": window_running_total,
     "percentiles_lineitem": percentiles_lineitem,
-    "agg_nations_per_region": agg_nations_per_region,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
+    "doc_contamination_probes": doc_contamination_probes,
     "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
@@ -1827,6 +1874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "having_big_customers": having_big_customers,
+    "agg_nations_per_region": agg_nations_per_region,
 }
 
 ORACLES: dict[str, str] = {
@@ -1867,6 +1915,7 @@ ORACLES: dict[str, str] = {
     "doc_quality_composite": QUALITY_COMPOSITE_SQL,
     "doc_fingerprint_dedup": FINGERPRINT_SQL,
     "doc_ngram_jaccard_pairs": NGRAM_SQL,
+    "doc_contamination_probes": _contamination_sql(),
     "embedding_neardup_cosine": NEARDUP_SQL,
     "knn_ivf_exhaustive": KNN_SQL,
     "knn_pq_rescore": KNN_DOT_SQL,

@@ -194,3 +194,33 @@ def test_lsh_params_for_tau():
         # random (cos~0) pair expected candidate rate stays tiny
         assert bands * 2.0 ** -bits < 0.05, (tau, bits, bands)
     assert lsh_params_for_tau(1.0)[1] == 1
+
+
+def test_ngram_contamination(spark):
+    """Planted eval-probe leakage: a train doc embedding a probe's
+    sentence is flagged with the exact shared-n-gram count; clean docs
+    and the probe's own source doc are not."""
+    from cli_p_spark.operators.dedup import ngram_contamination
+
+    probe_sent = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            ("t1", f"intro words {probe_sent} trailing words here"),
+            ("t2", "a completely unrelated document about spark joins"),
+            ("p1src", probe_sent),
+        ],
+        "doc_id string, text string",
+    )
+    probes = spark.createDataFrame(
+        [("p1", probe_sent)], "probe_id string, text string"
+    )
+    got = {
+        (r["doc_id"], r["probe_id"]): (r["n_overlap"], r["overlap_frac"])
+        for r in ngram_contamination(
+            docs, probes, n=5, min_overlap=2
+        ).collect()
+    }
+    # probe has 10 tokens -> 6 distinct 5-grams; t1 contains them all
+    assert got[("t1", "p1")] == (6, 1.0)
+    assert got[("p1src", "p1")] == (6, 1.0)  # self-source flagged too
+    assert ("t2", "p1") not in got
