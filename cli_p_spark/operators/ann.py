@@ -245,7 +245,12 @@ class _IvfIndex:
     MARGIN = 3
 
     # rows per kernel block: bounds every intermediate at
-    # [BLOCK, max_cell + kc] regardless of Arrow batch size
+    # [BLOCK, max_cell + kc] regardless of Arrow batch size.
+    # (A masked-dense alternative for nprobe < nlist at small E was
+    # prototyped and A/B-measured in round 3: in-situ the two strategies
+    # are within noise at E=2000 and per-cell wins 2.5x at E=16k, so the
+    # single per-cell path stays — it is never worse and keeps the
+    # [block, max_cell + kc] memory bound at every scale.)
     BLOCK = 1024
 
     def __init__(self, eids, gmat, perm, inv_perm, cell_ptr, CT):
@@ -292,6 +297,49 @@ class _IvfIndex:
         if cols > self.stats["max_gemm_cols"]:
             self.stats["max_gemm_cols"] = cols
 
+    @staticmethod
+    def _group_probes(probe, n, pp):
+        """Group (row, probed-cell) pairs by cell: (fr, fc, cells,
+        bounds) with rows fr[bounds[ci]:bounds[ci+1]] probing cells[ci]."""
+        flat_rows = np.repeat(np.arange(n), pp)
+        flat_cells = probe.ravel()
+        order = np.argsort(flat_cells, kind="stable")
+        fr = flat_rows[order]
+        fc = flat_cells[order]
+        cells, starts = np.unique(fc, return_index=True)
+        bounds = np.append(starts, len(fc))
+        return fr, fc, cells, bounds
+
+    def _topk_grouped(self, scores32, kc):
+        """top-kc per row of a grouped-order [n, E] f32 score matrix
+        under the total order (-score, ORIGINAL entity idx asc); masked
+        entries carry -inf and can only fill trailing slots.  Returns
+        (sel original indices, best_sc f32)."""
+        n, E = scores32.shape
+        if kc < E:
+            part = np.argpartition(-scores32, kc - 1, axis=1)[:, :kc]
+            # boundary ties: argpartition keeps an ARBITRARY subset of
+            # candidates tied at the kc-th f32 score, which can drop
+            # the min-entity-id member (mass-duplicate corpora) and
+            # break the (-score, entity_id asc) determinism contract.
+            # Repair affected rows only: keep everything above the
+            # boundary, fill remaining slots with the tied candidates
+            # of smallest ORIGINAL entity index.
+            sel_sc = np.take_along_axis(scores32, part, axis=1)
+            b = sel_sc.min(axis=1)
+            n_tied_all = (scores32 == b[:, None]).sum(axis=1)
+            n_tied_sel = (sel_sc == b[:, None]).sum(axis=1)
+            for i in np.where(n_tied_all > n_tied_sel)[0]:
+                above = np.where(scores32[i] > b[i])[0]
+                tied = np.where(scores32[i] == b[i])[0]
+                tied = tied[np.argsort(self.perm[tied])]
+                part[i] = np.concatenate([above, tied[: kc - len(above)]])
+        else:
+            part = np.tile(np.arange(E), (n, 1))
+        sel = self.perm[part]
+        best_sc = np.take_along_axis(scores32, part, axis=1)
+        return sel, best_sc
+
     def _search_block(self, Q: np.ndarray, k: int, nprobe: int):
         n = len(Q)
         E = self.gmat32.shape[0]
@@ -311,43 +359,14 @@ class _IvfIndex:
             # GEMMs and is result-identical (no cell is excluded)
             scores32 = Q32 @ self.gmat32.T  # [n, E] (grouped order)
             self._track(E)
-            if kc < E:
-                part = np.argpartition(-scores32, kc - 1, axis=1)[:, :kc]
-                # boundary ties: argpartition keeps an ARBITRARY subset of
-                # candidates tied at the kc-th f32 score, which can drop
-                # the min-entity-id member (mass-duplicate corpora) and
-                # break the (-score, entity_id asc) determinism contract.
-                # Repair affected rows only: keep everything above the
-                # boundary, fill remaining slots with the tied candidates
-                # of smallest ORIGINAL entity index.
-                sel_sc = np.take_along_axis(scores32, part, axis=1)
-                b = sel_sc.min(axis=1)
-                n_tied_all = (scores32 == b[:, None]).sum(axis=1)
-                n_tied_sel = (sel_sc == b[:, None]).sum(axis=1)
-                for i in np.where(n_tied_all > n_tied_sel)[0]:
-                    above = np.where(scores32[i] > b[i])[0]
-                    tied = np.where(scores32[i] == b[i])[0]
-                    tied = tied[np.argsort(self.perm[tied])]
-                    part[i] = np.concatenate(
-                        [above, tied[: kc - len(above)]]
-                    )
-            else:
-                part = np.tile(np.arange(E), (n, 1))
-            sel = self.perm[part]
-            best_sc = np.take_along_axis(scores32, part, axis=1)
+            sel, best_sc = self._topk_grouped(scores32, kc)
         else:
             # cell-pruned search: rows grouped by probed cell, one GEMM
             # per (cell x probing rows), running top-kc merge under the
             # total order (-f32 score, entity idx asc)
             cs = Q64 @ self.CT  # [n, nlist] f64 — bitwise == add_probes
             probe = np.argpartition(-cs, pp - 1, axis=1)[:, :pp]
-            flat_rows = np.repeat(np.arange(n), pp)
-            flat_cells = probe.ravel()
-            order = np.argsort(flat_cells, kind="stable")
-            fr = flat_rows[order]
-            fc = flat_cells[order]
-            cells, starts = np.unique(fc, return_index=True)
-            bounds = np.append(starts, len(fc))
+            fr, fc, cells, bounds = self._group_probes(probe, n, pp)
             best_sc = np.full((n, kc), -np.inf, dtype=np.float32)
             sel = np.zeros((n, kc), dtype=np.int64)
             ptr = self.cell_ptr
