@@ -326,13 +326,14 @@ def build_pq_broadcast_value(
     (IndexPreTransform+OPQMatrix shape) — 1 MB extra broadcast.  With
     ``residual`` (books from train_pq_residual), codes quantize
     x - centroid(x) (IndexIVFPQ's by_residual refinement; requires
-    ``centroids``, mutually exclusive with ``rotation``)."""
+    ``centroids``).  ``rotation`` + ``residual`` compose (faiss
+    OPQ pretransform over IVFPQ residuals): codes quantize
+    (x - centroid(x)) @ R, and the search identity
+    q·x = q·centroid + (qR)·(rR) holds because rotations preserve
+    inner products — train books with train_opq on the residuals."""
     eids, emat = _entity_arrays(entities_pdf)
-    if residual:
-        if centroids is None:
-            raise ValueError("residual coding requires IVF centroids")
-        if rotation is not None:
-            raise ValueError("residual and OPQ rotation are exclusive here")
+    if residual and centroids is None:
+        raise ValueError("residual coding requires IVF centroids")
     if centroids is None:
         codes = pq_encode(
             emat @ rotation if rotation is not None else emat, books
@@ -341,9 +342,9 @@ def build_pq_broadcast_value(
         return (eids, codes, perm, None, None, books, rotation, False)
     n_cells = len(centroids)
     assign = np.argmax(emat @ centroids.T, axis=1).astype(np.int32)
-    enc = emat - centroids[assign] if residual else (
-        emat @ rotation if rotation is not None else emat
-    )
+    enc = emat - centroids[assign] if residual else emat
+    if rotation is not None:
+        enc = enc @ rotation
     codes = pq_encode(enc, books)
     perm = np.argsort(assign, kind="stable").astype(np.int64)
     counts = np.bincount(assign, minlength=n_cells)

@@ -263,3 +263,59 @@ def test_residual_ivfpq_linking_pr_gate_tight_kc(spark):
     golden = golden_triples(docs_pdf, ents_pdf, tau=cfg.tau, k=cfg.k)
     p, r = precision_recall(got, golden)
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+
+def test_opq_plus_residual_composition():
+    """OPQ rotation composes with residual coding (faiss OPQ pretransform
+    over IVFPQ): codes quantize (x - centroid(x)) @ R; search identity
+    q.x = q.centroid + (qR).(rR).  Gates: rotated-residual quantization
+    error <= plain-residual error, preselect recall not worse."""
+    import pandas as pd
+
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.pq import (
+        pq_decode,
+        train_opq,
+        train_pq_residual,
+    )
+
+    rng = np.random.default_rng(7)
+    E, dim, nlist = 20_000, 64, 128
+    A = rng.standard_normal((dim, dim))  # correlated dims: OPQ headroom
+    centers = rng.standard_normal((200, dim)) @ A
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def sample(n):
+        v = centers[rng.integers(0, 200, n)] \
+            + 0.0125 * (rng.standard_normal((n, dim)) @ A)
+        return (v / np.linalg.norm(v, axis=1, keepdims=True))
+
+    X = sample(E).astype(np.float32)
+    Q = sample(400)
+    C = train_centroids(X.astype(np.float64), nlist=nlist, seed=17)
+    assign = np.argmax(X.astype(np.float64) @ C.T, axis=1)
+    res = X - C[assign]
+    books_res = train_pq_residual(X, C, m_subspaces=4, max_train=E)
+    R, books_or = train_opq(res, m_subspaces=4, iters=4, max_train=E)
+
+    err_res = np.linalg.norm(
+        res - pq_decode(pq_encode(res, books_res), books_res))
+    resR = res @ R
+    err_or = np.linalg.norm(
+        resR - pq_decode(pq_encode(resR, books_or), books_or))
+    assert err_or <= err_res * 1.001, (err_or, err_res)
+
+    pdf = pd.DataFrame(
+        {"entity_id": [f"e{i:06d}" for i in range(E)], "embedding": list(X)}
+    )
+    true_top1 = (Q @ X.T).argmax(1)
+
+    def recall(pay):
+        cand = _PqIndex(*pay).preselect(Q, 8, nprobe=16)
+        return float(np.mean([t in c for t, c in zip(true_top1, cand)]))
+
+    r_res = recall(build_pq_broadcast_value(
+        pdf, books_res, centroids=C, residual=True))
+    r_or = recall(build_pq_broadcast_value(
+        pdf, books_or, centroids=C, rotation=R, residual=True))
+    assert r_or >= r_res - 1e-9, (r_or, r_res)
