@@ -47,6 +47,7 @@ SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 RUN_CANON = os.environ.get("SPARK_GRAFT_CANON", "1") != "0"
+RUN_512D = os.environ.get("SPARK_GRAFT_512D", "1") != "0"
 CANON_MENTIONS = int(
     os.environ.get("SPARK_GRAFT_CANON_MENTIONS", "1000000")
 )
@@ -197,6 +198,41 @@ def _q1_double(spark, sf_dir):
     )
 
 
+def _dim512_job(spark, n_docs: int = 50_000) -> dict:
+    """Fused pipeline at the REFERENCE's dimensionality (512, CLIP
+    ViT-B/32 — build-index.py:18): the continuity measurement for
+    BASELINE.md.  Separate corpus + entity set from the 64-d headline;
+    min of 2."""
+    import numpy as np
+
+    from cli_p_spark.config import PipelineConfig
+    from cli_p_spark.fixtures.generate import make_entities
+    from cli_p_spark.operators.ann import train_centroids
+    from cli_p_spark.operators.fused import fused_triples
+
+    cfg = PipelineConfig(dim=512, embed_partitions=CPUS)
+    ents = make_entities(N_ENTITIES, dim=512)
+    emat = np.stack(ents["embedding"].to_numpy())
+    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+    # the corpus depends on entity NAMES only (identical at any dim),
+    # so the standard corpus cache is reusable
+    docs = spark.read.parquet(_corpus_path(spark, ents, n_docs))
+    fused_triples(
+        docs.limit(2000), ents, centroids, cfg, nprobe=32
+    )[0].count()  # warm
+    best, n = 1e9, 0
+    for _ in range(2):
+        t0 = time.time()
+        n = fused_triples(docs, ents, centroids, cfg, nprobe=32)[0].count()
+        best = min(best, time.time() - t0)
+    return {
+        "n_docs": n_docs,
+        "wall_s": round(best, 3),
+        "docs_per_s": round(n_docs / best, 1),
+        "n_triples": n,
+    }
+
+
 def _canon_job(spark, n_mentions: int) -> tuple[float, dict]:
     """Sharded canonicalization at bench scale (SCALE.md stage 3): banded
     sign-LSH pairs per entity-neighborhood shard (group_col) over a
@@ -290,6 +326,9 @@ def main():
     extra["kg_docs_per_s"] = round(N_DOCS / wall, 1)
     extra["kg_n_docs"] = N_DOCS
     extra["kg_n_triples"] = n_triples
+
+    if RUN_512D:
+        extra["dim512"] = _dim512_job(spark)
 
     if RUN_CANON:
         # min of 2 (same policy as kg_pipeline): first run pays JIT +
