@@ -373,9 +373,12 @@ def ngram_contamination(
 
     Scale shape: the PROBE side is small (an eval benchmark, thousands
     of items) — its exploded n-gram table broadcasts; the corpus side
-    explodes n-grams once and broadcast-joins, so the 10^12-doc scan
-    shuffles only the surviving (doc, probe) hit pairs into the final
-    groupBy.  Pure Catalyst (split/slice/concat_ws/explode), no Python.
+    explodes n-grams once and broadcast-joins WITHOUT a global distinct
+    (deduping all corpus n-grams would be a full-corpus shuffle at
+    10^12 docs) — within-doc duplicate grams are deduped AFTER the
+    join, on the surviving hit rows only, so the only shuffle carries
+    (doc, probe, gram) HITS.  Pure Catalyst (split/slice/concat_ws/
+    explode), no Python.
     """
 
     def grams(df, idc, textc, out):
@@ -390,13 +393,16 @@ def ngram_contamination(
                     lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
                 )
             ).alias("_g"),
-        ).distinct()
+        )
 
     dg = grams(docs, id_col, text_col, "doc_id")
-    pg = grams(probes, probe_id_col, probe_text_col, "probe_id")
+    pg = grams(probes, probe_id_col, probe_text_col, "probe_id").distinct()
     psizes = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("_pn"))
     hits = (
         dg.join(F.broadcast(pg), "_g")
+        # distinct AFTER the filter-join: within-doc duplicate grams
+        # collapse here over hits only, not over the whole corpus
+        .dropDuplicates(["doc_id", "probe_id", "_g"])
         .groupBy("doc_id", "probe_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
