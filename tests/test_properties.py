@@ -64,3 +64,80 @@ def test_normalize_idempotent():
         v = rng.standard_normal(16).astype(np.float32) * rng.uniform(0, 100)
         u = l2_normalize(v)
         assert np.allclose(l2_normalize(u), u, atol=1e-6)
+
+
+@given(
+    st.floats(min_value=0.75, max_value=0.999),
+    st.floats(min_value=0.9, max_value=0.999),
+)
+@settings(max_examples=50, deadline=None)
+def test_lsh_params_hit_recall_target(tau, target):
+    """lsh_params_for_tau: returned (bits, bands) always achieves the
+    requested recall at tau, and wider bands are never returned than the
+    cap allows."""
+    import math
+
+    from cli_p_spark.operators.lsh import lsh_params_for_tau
+
+    bits, bands = lsh_params_for_tau(tau, target_recall=target)
+    assert 4 <= bits <= 16 and 1 <= bands <= 64
+    p1 = 1.0 - math.acos(tau) / math.pi
+    recall = 1.0 - (1.0 - p1 ** bits) ** bands
+    # the cap can force a shortfall only at the widest-feasible fallback
+    if bands < 64:
+        assert recall >= target - 1e-9, (tau, target, bits, bands, recall)
+
+
+def _py_contamination(doc_rows, probe_rows, n, min_overlap):
+    """Pure-Python oracle for ngram_contamination."""
+    def grams(text):
+        toks = text.lower().split(" ")
+        hi = max(len(toks) - n, 0)
+        return {" ".join(toks[i: i + n]) for i in range(hi + 1)}
+
+    out = {}
+    pg = {pid: grams(t) for pid, t in probe_rows}
+    for did, t in doc_rows:
+        dgr = grams(t)
+        for pid, pgr in pg.items():
+            inter = len(dgr & pgr)
+            if inter >= min_overlap:
+                out[(did, pid)] = (inter, inter / len(pgr))
+    return out
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_contamination_matches_python_oracle(spark, data):
+    """ngram_contamination vs an independent pure-Python set oracle on
+    random corpora with planted probe substrings."""
+    from cli_p_spark.operators.dedup import ngram_contamination
+
+    rnd = data.draw(st.randoms(use_true_random=False))
+    vocab = [f"w{i}" for i in range(30)]
+    probes = [
+        (f"p{j}", " ".join(rnd.choices(vocab, k=rnd.randint(4, 10))))
+        for j in range(3)
+    ]
+    docs = []
+    for i in range(12):
+        words = rnd.choices(vocab, k=rnd.randint(3, 15))
+        if rnd.random() < 0.5:  # plant a probe fragment
+            frag = probes[rnd.randrange(3)][1].split()
+            pos = rnd.randint(0, len(words))
+            words = words[:pos] + frag + words[pos:]
+        docs.append((f"d{i}", " ".join(words)))
+    n, mo = rnd.choice([2, 3]), rnd.choice([1, 2])
+    got = {
+        (r["doc_id"], r["probe_id"]): (r["n_overlap"], r["overlap_frac"])
+        for r in ngram_contamination(
+            spark.createDataFrame(docs, "doc_id string, text string"),
+            spark.createDataFrame(probes, "probe_id string, text string"),
+            n=n, min_overlap=mo,
+        ).collect()
+    }
+    want = _py_contamination(docs, probes, n, mo)
+    assert got.keys() == want.keys()
+    for k_ in want:
+        assert got[k_][0] == want[k_][0], k_
+        assert abs(got[k_][1] - want[k_][1]) < 1e-12, k_
