@@ -107,3 +107,39 @@ def content_fingerprint(col: str | Column) -> Column:
     (lowercase, collapsed whitespace) — the exact-dedup key."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))
+
+
+# PII patterns chosen for Java-regex / RE2 (DuckDB) dialect parity: no
+# lookarounds, no backrefs — the same strings compile and match
+# identically on both engines, which is what lets the scrub be
+# SQL-oracled.  Conservative by design (a production scrub would add
+# locale-specific patterns behind the same interface).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """{kind: count} of PII matches — pure Catalyst regexp_count
+    (whole-stage codegen; the 100 TB scrub is one scan, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.regexp_count(c, F.lit(pat)).cast("long")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(col: str | Column) -> Column:
+    """Redact every PII match with a typed placeholder — the curation
+    stage run before training-corpus export.  Order matters: emails
+    first (an email may contain digits that phone/ip patterns could
+    otherwise nibble at), then phones, then IPs."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for kind in ("email", "phone", "ipv4"):
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out

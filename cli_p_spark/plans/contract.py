@@ -1013,6 +1013,64 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.02
 """
 
 
+_PII_PLANT = (
+    " reach me at john.doe@example.com or 555-123-4567 from 192.168.1.77"
+)
+
+
+def doc_pii_scrub(spark, sf_dir):
+    """PII scrub stage (curation before corpus export): per-doc match
+    counts + typed-placeholder redaction, pure Catalyst regexp.  PII is
+    PLANTED inside the query (every 9th doc gets the same appended
+    contact line on BOTH engines) because the synthetic corpus contains
+    none — the entry checks the regex/redaction machinery, including
+    the full scrubbed strings, not the fixture."""
+    from ..functions.text import pii_counts, pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(_PII_PLANT)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    cnt = pii_counts("text")
+    return planted.select(
+        "doc_id",
+        cnt["email"].alias("n_email"),
+        cnt["phone"].alias("n_phone"),
+        cnt["ipv4"].alias("n_ipv4"),
+        pii_scrub("text").alias("scrubbed"),
+    ).filter(
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    )
+
+
+def _pii_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    em, ph, ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    return f"""
+WITH planted AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || '{_PII_PLANT}'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{ph}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{ip}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(
+         text, '{em}', '<EMAIL>', 'g'), '{ph}', '<PHONE>', 'g'),
+         '{ip}', '<IPV4>', 'g') AS scrubbed
+FROM planted
+WHERE len(regexp_extract_all(text, '{em}'))
+      + len(regexp_extract_all(text, '{ph}'))
+      + len(regexp_extract_all(text, '{ip}')) > 0
+"""
+
+
 def doc_contamination_probes(spark, sf_dir):
     """Train/eval decontamination (GPT-3 §C-style n-gram scrub; 13-grams
     there, 3-grams here so the synthetic corpus yields a meaningful hit
@@ -1852,7 +1910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
     "left_outer_nation_customers": left_outer_nation_customers,
-    "window_running_total": window_running_total,
+    "doc_pii_scrub": doc_pii_scrub,
     "percentiles_lineitem": percentiles_lineitem,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
     "doc_contamination_probes": doc_contamination_probes,
@@ -1875,6 +1933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
     "having_big_customers": having_big_customers,
     "agg_nations_per_region": agg_nations_per_region,
+    "window_running_total": window_running_total,
 }
 
 ORACLES: dict[str, str] = {
@@ -1916,6 +1975,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint_dedup": FINGERPRINT_SQL,
     "doc_ngram_jaccard_pairs": NGRAM_SQL,
     "doc_contamination_probes": _contamination_sql(),
+    "doc_pii_scrub": _pii_sql(),
     "embedding_neardup_cosine": NEARDUP_SQL,
     "knn_ivf_exhaustive": KNN_SQL,
     "knn_pq_rescore": KNN_DOT_SQL,

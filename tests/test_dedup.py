@@ -224,3 +224,29 @@ def test_ngram_contamination(spark):
     assert got[("t1", "p1")] == (6, 1.0)
     assert got[("p1src", "p1")] == (6, 1.0)  # self-source flagged too
     assert ("t2", "p1") not in got
+
+
+def test_pii_scrub_and_counts(spark):
+    """Planted PII: counts per kind and full redaction; clean text
+    untouched; email scrubbed before phone/ip patterns can nibble it."""
+    from cli_p_spark.functions.text import pii_counts, pii_scrub
+
+    rows = [
+        ("a", "mail a.b@x.org and c.d@y.io, call 555-123-4567"),
+        ("b", "server at 10.0.0.1 and 192.168.1.77 up"),
+        ("c", "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    cnt = pii_counts("text")
+    got = {
+        r["id"]: (r["e"], r["p"], r["i"], r["s"])
+        for r in df.select(
+            "id", cnt["email"].alias("e"), cnt["phone"].alias("p"),
+            cnt["ipv4"].alias("i"), pii_scrub("text").alias("s"),
+        ).collect()
+    }
+    assert got["a"][:3] == (2, 1, 0)
+    assert got["a"][3] == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert got["b"][:3] == (0, 0, 2)
+    assert got["b"][3] == "server at <IPV4> and <IPV4> up"
+    assert got["c"] == (0, 0, 0, "no pii here at all")
