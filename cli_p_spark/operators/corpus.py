@@ -1,0 +1,257 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+repetition-based quality stats, deterministic train/val splitting, and
+token-budget sequence packing.
+
+These extend the reference's per-file quality gate (extension filter +
+decode-failure skip, build-index.py:32-34,53-61) to the document-level
+curation a 100 TB text corpus needs before pretraining.  All three are
+pure Catalyst (whole-stage codegen, SQL-oracle-able) — no Python in any
+hot path.
+
+Scale notes:
+- repetition_stats explodes ~3L gram rows per L-token doc, but both
+  groupBys partial-aggregate map-side (gram counts collapse within a
+  partition before the shuffle); the doc-level reduce carries 5 numbers
+  per (doc, n).  One explode, two shuffles, independent of corpus width.
+- deterministic_split is a stateless map: the assignment is a pure
+  function of the id (md5 prefix), so it needs NO shuffle, is stable
+  under re-runs/backfills, and any engine can recompute membership.
+- pack_sequences shards by an md5 prefix first, then packs WITHIN each
+  shard with a running-sum window — the window partition is a shard,
+  never the whole corpus, so there is no global sort and the parallelism
+  is min(shards, executors).  Raise `shards` (hex prefix length) for
+  bigger clusters: 1 hex char = 16 shards, 3 = 4096.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Array of word n-grams tagged with n — struct(n, g) so the three
+    gram sizes ride ONE explode.  Guarded: Spark's sequence(1, stop)
+    produces a DESCENDING sequence when stop < 1, so short docs must
+    yield an empty array, not reversed junk."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.struct(
+            F.lit(n).alias("n"), F.concat_ws(" ", F.slice(toks, i, n)).alias("g")
+        ),
+    )
+    empty = F.array().cast("array<struct<n:int,g:string>>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def repetition_stats(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher-family quality filters,
+    Rae et al. 2021 'Scaling Language Models', Table A1 — adapted to
+    word n-grams; this corpus has no line structure):
+
+    - n_tokens          whitespace token count
+    - top_word_frac     freq. of the most common word / n_tokens
+    - top_bigram_frac   freq. of the most common 2-gram / n_2grams
+    - dup_trigram_frac  fraction of 3-gram OCCURRENCES whose gram
+                        appears >= 2 times
+
+    High values mark boilerplate/degenerate docs a curation pass drops.
+    NULL metric when the doc is too short to have that gram size
+    (identical semantics in the SQL oracle)."""
+    toks = F.split(F.col(content_col), " ")
+    grams = F.flatten(
+        F.array(*[_word_grams(toks, n) for n in (1, 2, 3)])
+    )
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(grams).alias("x")
+    ).select("_id", F.col("x.n").alias("_n"), F.col("x.g").alias("_g"))
+    counts = exploded.groupBy("_id", "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    per_n = counts.groupBy("_id", "_n").agg(
+        F.sum("_cnt").alias("_total"),
+        F.max("_cnt").alias("_maxc"),
+        F.coalesce(
+            F.sum(F.when(F.col("_cnt") >= 2, F.col("_cnt"))), F.lit(0)
+        ).alias("_dupc"),
+    )
+
+    def at(n: int, c: str) -> Column:
+        return F.max(F.when(F.col("_n") == n, F.col(c)))
+
+    return (
+        per_n.groupBy("_id")
+        .agg(
+            at(1, "_total").cast("long").alias("n_tokens"),
+            (at(1, "_maxc").cast("double") / at(1, "_total")).alias(
+                "top_word_frac"
+            ),
+            (at(2, "_maxc").cast("double") / at(2, "_total")).alias(
+                "top_bigram_frac"
+            ),
+            (at(3, "_dupc").cast("double") / at(3, "_total")).alias(
+                "dup_trigram_frac"
+            ),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def split_assignment(id_col: str | Column, train_frac_hex: str = "cd") -> Column:
+    """'train'/'val' as a pure function of md5(id): lexicographic
+    threshold on the first two hex chars ('cd' => 205/256 ~ 80.1%
+    train).  Content-stable (re-runs, backfills and OTHER ENGINES assign
+    identically — the property that keeps eval sets leak-free across
+    pipeline versions), uniform (md5), and shuffle-free."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.substring(F.md5(c.cast("string")), 1, 2)
+    return F.when(h < F.lit(train_frac_hex), F.lit("train")).otherwise(
+        F.lit("val")
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    train_frac_hex: str = "cd",
+) -> DataFrame:
+    """Per-split corpus accounting for a deterministic md5 train/val
+    split: (split, n_docs, n_tokens, n_chars)."""
+    return (
+        df.select(
+            split_assignment(id_col, train_frac_hex).alias("split"),
+            F.size(F.split(F.col(content_col), " ")).alias("_tok"),
+            F.length(content_col).alias("_ch"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_ch").alias("n_chars"),
+        )
+    )
+
+
+def _rate_to_hex(rate: float, digits: int = 4) -> str:
+    """Lexicographic md5-prefix threshold for a keep-rate: the first
+    ``digits`` hex chars of md5 are uniform over 16^digits values, so
+    keep iff prefix < hex(floor(rate * 16^digits)).  Resolution 1/65536
+    at 4 digits."""
+    n = min(max(int(rate * (16 ** digits)), 0), 16 ** digits)
+    if n == 16 ** digits:  # rate 1.0: keep everything ('10000' > any 4-hex)
+        return "g"  # lexicographically above every hex char
+    return format(n, f"0{digits}x")
+
+
+def mix_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> Column:
+    """Boolean keep-column for weighted corpus mixing: per-``group_col``
+    (source/domain) Bernoulli keep-rates, deterministic in the id — the
+    domain-reweighting step of pretraining-corpus assembly (e.g. the
+    Pile / C4 mixture weights), as a pure function.
+
+    Same engine-independence property as deterministic_split: membership
+    is md5(salt || id) against a per-group lexicographic hex threshold,
+    so re-runs, backfills and other engines reproduce the exact sample.
+    The salt decorrelates this decision from the train/val split (an
+    unsalted reuse of md5(id) would sample the same low-hash docs every
+    time).  Shuffle-free; composes with any downstream aggregation."""
+    c = F.col(id_col).cast("string")
+    h = F.substring(F.md5(F.concat(F.lit(salt + ":"), c)), 1, 4)
+    expr = F.lit(default_rate >= 1.0) if default_rate >= 1.0 else (
+        h < F.lit(_rate_to_hex(default_rate))
+    )
+    for grp, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(group_col) == grp, h < F.lit(_rate_to_hex(rate))
+        ).otherwise(expr)
+    return expr
+
+
+def mix_sample_stats(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    content_col: str,
+    rates: dict[str, float],
+) -> DataFrame:
+    """Per-group mixing accounting: (group, n_docs_in, n_docs_kept,
+    n_tokens_kept) for a deterministic weighted sample."""
+    keep = mix_sample(df, id_col, group_col, rates)
+    toks = F.size(F.split(F.col(content_col), " "))
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            keep.alias("_keep"),
+            toks.alias("_tok"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum(F.col("_keep").cast("long")).alias("n_docs_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("_keep"), F.col("_tok"))), F.lit(0)
+            ).cast("long").alias("n_tokens_kept"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    budget: int = 512,
+    shard_hex_chars: int = 1,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: assign docs to fixed
+    token-budget training sequences (bins), the pretraining step that
+    turns a ragged document corpus into near-full context windows.
+
+    Docs are sharded by an md5(id) prefix (16^shard_hex_chars shards),
+    deterministically ordered within the shard by (md5, id), and a
+    running token sum assigns bin = floor((cumsum - tokens)/budget) —
+    each doc starts in the first bin with room before it.  Output is the
+    per-bin manifest (shard, bin, n_docs, n_tokens, fill_ratio).
+
+    The window partition is a SHARD (bounded, user-sized), never the
+    corpus: no global sort, scales by adding shards.  Deterministic:
+    shard, order, and bin are pure functions of (id, token count)."""
+    toks = F.size(F.split(F.col(content_col), " "))
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_tok"),
+        F.substring(h, 1, shard_hex_chars).alias("shard"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.withColumn(
+        "bin",
+        F.floor((F.sum("_tok").over(w) - F.col("_tok")) / F.lit(budget)),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            # exact f64 (no rounding): token counts stay < 2^53 and the
+            # oracle computes the identical division
+            "fill_ratio",
+            F.col("n_tokens").cast("double") / F.lit(budget),
+        )
+    )

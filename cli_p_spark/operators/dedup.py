@@ -168,9 +168,15 @@ def lsh_pairs_from_signatures(
         ).alias(f"_b{b}")
         for b in range(bands)
     ]
+    # the band index is already folded into the bucket hash (the F.lit(b)
+    # seed above), so the bucket value alone is the join key: a single
+    # long instead of (band, bucket) halves the key width through the
+    # explode shuffle, the size groupBy and the self-join.  A cross-band
+    # 64-bit hash collision could only ADD a candidate pair, which the
+    # exact signature-agreement verify below then filters.
     banded = sig.select(
         "_id",
-        F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"),
+        F.explode(F.array(*band_cols)).alias("_bucket"),
     )
     # bucket-size guard: degenerate buckets (boilerplate) cap quadratic
     # pairing at max_bucket; above it, a linear bucket-min STAR keeps the
@@ -178,7 +184,7 @@ def lsh_pairs_from_signatures(
     # a window partition over a degenerate bucket IS the skew hazard)
     star = None
     if max_bucket < (1 << 30):
-        keys = ["_band", "_bucket"]
+        keys = ["_bucket"]
         sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
         tagged = banded.join(sizes, keys)
         big = tagged.filter(F.col("_bn") > max_bucket)
@@ -190,10 +196,10 @@ def lsh_pairs_from_signatures(
         )
         banded = tagged.filter(F.col("_bn") <= max_bucket).drop("_bn")
 
-    a = banded.select(F.col("_id").alias("src"), "_band", "_bucket")
-    b = banded.select(F.col("_id").alias("dst"), "_band", "_bucket")
+    a = banded.select(F.col("_id").alias("src"), "_bucket")
+    b = banded.select(F.col("_id").alias("dst"), "_bucket")
     cand = (
-        a.join(b, ["_band", "_bucket"])
+        a.join(b, ["_bucket"])
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
     )
@@ -284,20 +290,24 @@ def simhash_pairs_from_fingerprints(
     simhash_pairs."""
     width = 64 // bands
     mask = (1 << width) - 1
+    # band index packed into the key's high bits: one long join key
+    # (exact — band b occupies bits [width, width+log2(bands)), disjoint
+    # from the extracted band value) instead of (band, key)
     band_cols = [
         (F.shiftrightunsigned("_fp", b * width).bitwiseAND(F.lit(mask)))
+        .bitwiseOR(F.lit(b << width))
         .alias(f"_b{b}")
         for b in range(bands)
     ]
     banded = fp.select(
-        "_id", "_fp", F.posexplode(F.array(*band_cols)).alias("_band", "_key")
+        "_id", "_fp", F.explode(F.array(*band_cols)).alias("_key")
     )
     a = banded.select(F.col("_id").alias("src"),
-                      F.col("_fp").alias("_fa"), "_band", "_key")
+                      F.col("_fp").alias("_fa"), "_key")
     b = banded.select(F.col("_id").alias("dst"),
-                      F.col("_fp").alias("_fb"), "_band", "_key")
+                      F.col("_fp").alias("_fb"), "_key")
     cand = (
-        a.join(b, ["_band", "_key"])
+        a.join(b, ["_key"])
         .filter(F.col("src") < F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )

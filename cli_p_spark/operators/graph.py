@@ -1,0 +1,140 @@
+"""Graph analytics over the materialized knowledge graph.
+
+The reference stops at "display the top-k matches" (query-index.py:78-84);
+a KG-construction pipeline's output is a GRAPH, and the first questions a
+user asks of it are graph-analytic: which entities matter (PageRank),
+how connected is it (degrees).  These run on the (subj, obj) edge list
+the triple materialization stage writes.
+
+Determinism design: PageRank is computed in FIXED-POINT INTEGER
+arithmetic (micro-units).  Floating-point PageRank is NOT reproducible
+across engines — f64 addition is non-associative, and Spark's partial
+aggregation order differs run-to-run and engine-to-engine.  With integer
+micro-units every operation (integer division for the per-edge
+contribution, exact integer sums, integer damping) is associative and
+total-order-free, so the SAME ranks come out of Spark, DuckDB, and a
+pure-Python loop — bit-exact, hash-checkable.  Precision: 1e-6 of a rank
+unit per node per iteration (the truncation of r//outdeg), far below any
+ranking-relevant signal at 5 iterations.
+
+Scale shape: each iteration is one shuffle (groupBy dst) plus one
+broadcast-or-shuffle join on src; state per node is ONE long.  Overflow
+headroom: contributions sum to <= total mass = n_nodes * unit, so
+damping multiplication stays in int64 while n_nodes * unit * damping_ppm
+< 2^63 (n_nodes < ~10^10 at the defaults; drop `unit` to 10^4 for a
+10^12-node graph)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNIT = 1_000_000          # fixed-point scale: 1.0 rank unit
+DAMPING_PPM = 850_000     # 0.85 in parts-per-million
+
+
+def graph_nodes(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Distinct node set of an edge list (column `node`)."""
+    return (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    unit: int = UNIT,
+    damping_ppm: int = DAMPING_PPM,
+) -> DataFrame:
+    """(node, rank_fp) after ``iterations`` synchronous PageRank updates
+    in integer micro-units (see module docstring for why integer):
+
+        contrib(u->v) = r_u div outdeg_u          (integer division)
+        r'_v = base + (damping_ppm * sum contribs) div 10^6
+        base = ((10^6 - damping_ppm) * unit) div 10^6
+
+    Every node starts at ``unit``.  Dangling-node mass (no out-edges)
+    evaporates, the common simplification (Page et al. 1999 §2.1 note);
+    ranks remain a total preorder of link importance.  rank_fp / unit is
+    the float rank."""
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    nodes = graph_nodes(e, "_src", "_dst")
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
+
+    r = nodes.select("node", F.lit(unit).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(r, e["_src"] == r["node"])
+            .join(outdeg, "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_fp div _deg").alias("_c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
+        r = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_ppm} * coalesce(_s, 0L)) div 1000000"
+                )
+            ).cast("long").alias("rank_fp"),
+        )
+    return r
+
+
+def pagerank_sql(
+    edges_rel: str,
+    iterations: int = 5,
+    unit: int = UNIT,
+    damping_ppm: int = DAMPING_PPM,
+) -> str:
+    """DuckDB twin of pagerank_fixed_point over an edge relation (src,
+    dst) — the 5 synchronous updates unrolled as chained CTEs (explicit
+    and engine-portable; recursive-CTE grouping restrictions vary).
+    Integer ops only => bit-identical to the Spark result."""
+    base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
+    parts = [
+        f"e AS (SELECT src, dst FROM {edges_rel})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"i0 AS (SELECT node, CAST({unit} AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""i{k} AS (
+  SELECT n.node,
+         CAST({base} + ({damping_ppm} * COALESCE(SUM(c.contrib), 0))
+                       // 1000000 AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, p.r // d.deg AS contrib
+    FROM e JOIN i{k - 1} p ON p.node = e.src
+           JOIN outdeg d ON d.src = e.src) c ON c.node = n.node
+  GROUP BY n.node)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, r AS rank_fp FROM i{iterations}"
+    )
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Degree distribution of the triple graph: (degree, n_nodes) over
+    total degree (in+out) — the hub/skew diagnostic that sizes the
+    salted-CC and AQE-skew knobs."""
+    deg = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -136,11 +136,15 @@ def hyperplane_lsh_pairs(
     @pandas_udf("array<long>")
     def band_keys(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         weights = (1 << np.arange(bpb, dtype=np.int64))
+        # pack the band index into the key's high bits: one long join key
+        # instead of (band int, key long) — halves the shuffle key width
+        # through the explode, the bucket-size groupBy and the self-join
+        offsets = np.arange(bands, dtype=np.int64) << bpb
         for s in batches:
             M = np.stack(s.to_numpy()).astype(np.float32)
             bits = (M @ H32) > 0  # [n, n_planes]
             keys = bits.reshape(len(M), bands, bpb).astype(np.int64) @ weights
-            yield pd.Series(list(keys), dtype=object)
+            yield pd.Series(list(keys + offsets), dtype=object)
 
     # banding over ids only — embeddings attach AFTER pair dedup, so the
     # candidate shuffle carries 2 ids instead of 2 vectors per row
@@ -156,9 +160,9 @@ def hyperplane_lsh_pairs(
     # 1M x 64-d).  Rides on the returned frame as `.signature_cache`;
     # callers unpersist once the pair plan is materialized.
     sig = nodes.withColumn("_keys", band_keys(F.col("_emb"))).select(
-        "_id", *gcols, F.posexplode("_keys").alias("_band", "_key")
+        "_id", *gcols, F.explode("_keys").alias("_key")
     ).persist()
-    join_keys = gcols + ["_band", "_key"]
+    join_keys = gcols + ["_key"]
     # bucket sizes via groupBy+join, NOT a window: a window partition over
     # a degenerate bucket materializes the whole bucket in one task —
     # the exact skew this guard exists to defuse; groupBy partial-aggs.

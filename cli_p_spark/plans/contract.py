@@ -1865,6 +1865,142 @@ FROM t LEFT JOIN comp c
 """
 
 
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition quality metrics per document (word
+    n-gram adaptation): top-word / top-bigram frequency fractions and
+    the duplicate-trigram occurrence fraction — the boilerplate filter a
+    pretraining curation pass applies before dedup."""
+    from ..operators.corpus import repetition_stats
+
+    return repetition_stats(_docs_as_text(spark, sf_dir), "text", "doc_id")
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS t
+  FROM documents),
+gl AS (
+  SELECT doc_id, t AS g1,
+         list_transform(generate_series(1, greatest(len(t)-1, 0)),
+                        i -> array_to_string(t[i:i+1], ' ')) AS g2,
+         list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                        i -> array_to_string(t[i:i+2], ' ')) AS g3
+  FROM toks),
+g AS (
+  SELECT doc_id, 1 AS n, unnest(g1) AS g FROM gl
+  UNION ALL SELECT doc_id, 2, unnest(g2) FROM gl
+  UNION ALL SELECT doc_id, 3, unnest(g3) FROM gl),
+c AS (SELECT doc_id, n, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+p AS (
+  SELECT doc_id, n,
+         CAST(SUM(cnt) AS BIGINT) AS total,
+         MAX(cnt) AS maxc,
+         CAST(COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt END), 0)
+              AS BIGINT) AS dupc
+  FROM c GROUP BY 1, 2)
+SELECT doc_id,
+       MAX(CASE WHEN n = 1 THEN total END) AS n_tokens,
+       CAST(MAX(CASE WHEN n = 1 THEN maxc END) AS DOUBLE)
+         / MAX(CASE WHEN n = 1 THEN total END) AS top_word_frac,
+       CAST(MAX(CASE WHEN n = 2 THEN maxc END) AS DOUBLE)
+         / MAX(CASE WHEN n = 2 THEN total END) AS top_bigram_frac,
+       CAST(MAX(CASE WHEN n = 3 THEN dupc END) AS DOUBLE)
+         / MAX(CASE WHEN n = 3 THEN total END) AS dup_trigram_frac
+FROM p GROUP BY doc_id
+"""
+
+
+def corpus_split_stats(spark, sf_dir):
+    """Deterministic md5-prefix train/val split accounting: the
+    content-stable assignment any engine can recompute (leak-free eval
+    sets across pipeline versions and re-runs)."""
+    from ..operators.corpus import deterministic_split
+
+    return deterministic_split(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+SPLIT_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+            THEN 'train' ELSE 'val' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1
+"""
+
+
+_MIX_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75}
+
+
+def corpus_mix_stats(spark, sf_dir):
+    """Weighted corpus mixing (domain reweighting): deterministic
+    md5-threshold Bernoulli keep per source, exact same membership on
+    any engine — per-source accounting of the sampled mixture."""
+    from ..operators.corpus import mix_sample_stats
+
+    return mix_sample_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "source", "text",
+        _MIX_RATES,
+    )
+
+
+def _mix_sql() -> str:
+    from ..operators.corpus import _rate_to_hex
+
+    keep = "CASE grp " + " ".join(
+        f"WHEN '{g}' THEN h < '{_rate_to_hex(r)}'"
+        for g, r in sorted(_MIX_RATES.items())
+    ) + " ELSE TRUE END"
+    return f"""
+WITH base AS (
+  SELECT source AS grp,
+         len(string_split(text, ' ')) AS tok,
+         substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents),
+k AS (SELECT grp, tok, {keep} AS keep FROM base)
+SELECT grp, COUNT(*) AS n_docs_in,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(COALESCE(SUM(CASE WHEN keep THEN tok END), 0) AS BIGINT)
+         AS n_tokens_kept
+FROM k GROUP BY grp
+"""
+
+
+def corpus_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing manifest: md5-sharded running-sum
+    bin assignment (shard-local window — no global sort), the step that
+    turns a ragged corpus into near-full training context windows."""
+    from ..operators.corpus import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", budget=512
+    )
+
+
+PACK_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS tok,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+packed AS (
+  SELECT shard, tok,
+         CAST(FLOOR((SUM(tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - tok) / 512) AS BIGINT) AS bin
+  FROM base)
+SELECT shard, bin, COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(tok) AS BIGINT) / CAST(512 AS DOUBLE) AS fill_ratio
+FROM packed GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1895,7 +2031,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk_orders_per_cust": window_topk_orders_per_cust,
     "agg_count_distinct": agg_count_distinct,
     "union_dedup_nationkeys": union_dedup_nationkeys,
-    "sort_limit_top_orders": sort_limit_top_orders,
     "rollup_lineitem_flags": rollup_lineitem_flags,
     "string_funcs_part": string_funcs_part,
     "date_funcs_orders_monthly": date_funcs_orders_monthly,
@@ -1907,12 +2042,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_quality_score": doc_quality_score,
+    "doc_repetition_stats": doc_repetition_stats,
+    "corpus_split_stats": corpus_split_stats,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_mix_stats": corpus_mix_stats,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
-    "left_outer_nation_customers": left_outer_nation_customers,
     "doc_pii_scrub": doc_pii_scrub,
     "percentiles_lineitem": percentiles_lineitem,
-    "pivot_returnflag_by_status": pivot_returnflag_by_status,
     "doc_contamination_probes": doc_contamination_probes,
     "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
@@ -1925,9 +2062,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "knn_pq_rescore": knn_pq_rescore,
     "events_json_extract": events_json_extract,
-    "cube_orders_status_priority": cube_orders_status_priority,
     "range_join_ship_lag": range_join_ship_lag,
-    # --- past the driver's 50-entry window (redundant categories) ---
+    # --- past the driver's 50-entry window (redundant categories:
+    # joins/pivot covered by broadcast/semi/anti/range/q5 + rollup/cube
+    # entries above; all still run via tools/check_contract.py) ---
+    "left_outer_nation_customers": left_outer_nation_customers,
+    "pivot_returnflag_by_status": pivot_returnflag_by_status,
+    "cube_orders_status_priority": cube_orders_status_priority,
+    "sort_limit_top_orders": sort_limit_top_orders,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -1970,6 +2112,10 @@ ORACLES: dict[str, str] = {
     "intersect_nations": INTERSECT_SQL,
     "scalar_subquery_above_avg": SCALAR_SUBQ_SQL,
     "having_big_customers": HAVING_SQL,
+    "doc_repetition_stats": REPETITION_SQL,
+    "corpus_split_stats": SPLIT_SQL,
+    "corpus_pack_sequences": PACK_SQL,
+    "corpus_mix_stats": _mix_sql(),
     "doc_lang_id": _lang_sql(),
     "doc_quality_composite": QUALITY_COMPOSITE_SQL,
     "doc_fingerprint_dedup": FINGERPRINT_SQL,

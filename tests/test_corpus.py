@@ -1,0 +1,174 @@
+"""Corpus-preparation operators (operators/corpus.py): repetition
+quality stats, deterministic md5 train/val split, token-budget sequence
+packing — each checked against an independent pure-Python oracle."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+
+from cli_p_spark.operators.corpus import (
+    deterministic_split,
+    pack_sequences,
+    repetition_stats,
+    split_assignment,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_repetition_stats_exact(spark):
+    docs = [
+        ("d1", "a a a a"),              # 1 word repeated
+        ("d2", "w x y z"),              # all distinct
+        ("d3", "one"),                  # too short for 2/3-grams
+        ("d4", "p q p q p q"),          # repeated bigram/trigram pattern
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_stats(df, "text", "doc_id").collect()}
+
+    def oracle(text):
+        t = text.split(" ")
+        out = {"n_tokens": len(t)}
+        for n, key in ((1, "top_word_frac"), (2, "top_bigram_frac")):
+            grams = [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+            out[key] = (max(Counter(grams).values()) / len(grams)
+                        if grams else None)
+        tri = Counter(" ".join(t[i:i + 3]) for i in range(len(t) - 2))
+        total = sum(tri.values())
+        out["dup_trigram_frac"] = (
+            sum(c for c in tri.values() if c >= 2) / total if total else None
+        )
+        return out
+
+    for doc_id, text in docs:
+        exp = oracle(text)
+        for k, v in exp.items():
+            assert got[doc_id][k] == pytest.approx(v) if v is not None \
+                else got[doc_id][k] is None, (doc_id, k, got[doc_id], exp)
+    # spot values: d1 top word 4/4, trigrams 'a a a' x2 -> dup frac 1.0
+    assert got["d1"]["top_word_frac"] == 1.0
+    assert got["d1"]["dup_trigram_frac"] == 1.0
+    assert got["d2"]["top_word_frac"] == 0.25
+    assert got["d2"]["dup_trigram_frac"] == 0.0
+    assert got["d3"]["top_bigram_frac"] is None
+    assert got["d3"]["dup_trigram_frac"] is None
+
+
+def test_deterministic_split_matches_md5_and_is_stable(spark):
+    n = 2000
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", split_assignment("doc_id").alias("split")
+        ).collect()
+    }
+    exp = {
+        i: ("train" if _md5(str(i))[:2] < "cd" else "val") for i in range(n)
+    }
+    assert got == exp
+    frac = sum(v == "train" for v in got.values()) / n
+    assert 0.76 <= frac <= 0.84  # ~205/256, uniform md5
+
+
+def test_deterministic_split_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    rows = {r["split"]: r for r in
+            deterministic_split(df, "doc_id", "text").collect()}
+    assert set(rows) == {"train", "val"}
+    assert sum(r["n_docs"] for r in rows.values()) == 100
+
+
+def test_pack_sequences_matches_python_oracle(spark):
+    budget = 50
+    docs = [(i, "w " * (i % 23 + 1) + "end") for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["shard"], r["bin"]): (r["n_docs"], r["n_tokens"], r["fill_ratio"])
+        for r in pack_sequences(
+            df, "text", "doc_id", budget=budget
+        ).collect()
+    }
+
+    # pure-Python replication: md5 shard/order, running-sum binning
+    per_shard: dict[str, list[tuple[str, int, int]]] = {}
+    for i, text in docs:
+        h = _md5(str(i))
+        per_shard.setdefault(h[0], []).append((h, i, len(text.split(" "))))
+    exp: dict[tuple[str, int], list[int]] = {}
+    for shard, items in per_shard.items():
+        cum = 0
+        for _h, _i, tok in sorted(items):
+            bin_ = cum // budget
+            agg = exp.setdefault((shard, bin_), [0, 0])
+            agg[0] += 1
+            agg[1] += tok
+            cum += tok
+    expd = {
+        k: (n, t, t / budget) for k, (n, t) in exp.items()
+    }
+    assert got == expd
+
+
+def test_mix_sample_matches_md5_thresholds(spark):
+    from cli_p_spark.operators.corpus import _rate_to_hex, mix_sample
+
+    rates = {"a": 0.25, "b": 0.5, "c": 1.0}
+    rows = [(i, "abc"[i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in df.select(
+            "doc_id", mix_sample(df, "doc_id", "grp", rates).alias("keep")
+        ).collect()
+    }
+    for i, g in rows:
+        h = _md5(f"mix:{i}")[:4]
+        thr = _rate_to_hex(rates[g])
+        assert got[i] == (h < thr), (i, g, h, thr)
+    # realized rates near targets (uniform md5, n=1000/group)
+    for g, rate in rates.items():
+        kept = sum(got[i] for i, gg in rows if gg == g)
+        assert abs(kept / 1000 - rate) < 0.05, (g, kept)
+    # decorrelated from the train/val split: the 'c' group keeps all,
+    # 'a' keepers are NOT simply the split's low-md5(id) docs
+    from cli_p_spark.operators.corpus import split_assignment
+
+    sp = {
+        r["doc_id"]: r["s"] for r in df.select(
+            "doc_id", split_assignment("doc_id").alias("s")
+        ).collect()
+    }
+    a_keep = {i for i, g in rows if g == "a" and got[i]}
+    a_train = {i for i, g in rows if g == "a" and sp[i] == "train"}
+    assert a_keep - a_train and a_train - a_keep
+
+
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
+    budget = 64
+    df = spark.createDataFrame(
+        [(i, "t " * (i % 11 + 2)) for i in range(500)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(df, "text", "doc_id", budget=budget).collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        bins = sorted(r["bin"] for r in rs)
+        assert bins == list(range(len(bins))), (shard, bins)
+        # every bin except the last is filled past the budget boundary:
+        # the NEXT doc started a new bin because cumsum crossed budget
+        # (greedy contiguous fill => non-final bins have n_tokens >
+        # budget - max_doc_tokens; weaker invariant: all but last
+        # non-empty)
+        assert all(r["n_docs"] >= 1 for r in rs)

@@ -160,8 +160,8 @@ def test_keep_representatives(spark, neardup_df):
 def test_neardup_auto_strategy_routing(spark):
     """strategy='auto' must pick the sub-quadratic LSH plan at high tau
     (the 10^12-doc dedup regime) and the exact IVF plan at low tau —
-    checked structurally on the analyzed plan: the LSH path bands on
-    (_band, _key); the IVF path explodes probe cells."""
+    checked structurally on the analyzed plan: the LSH path explodes the
+    packed band-key array (_keys); the IVF path explodes probe cells."""
     from cli_p_spark.operators.dedup import embedding_neardup_pairs
 
     rng = np.random.default_rng(3)
@@ -175,9 +175,9 @@ def test_neardup_auto_strategy_routing(spark):
         return pairs._jdf.queryExecution().analyzed().toString()
 
     hi = plan(embedding_neardup_pairs(df, "embedding", "vid", tau=0.9))
-    assert "_band" in hi and "probes" not in hi
+    assert "_keys" in hi and "probes" not in hi
     lo = plan(embedding_neardup_pairs(df, "embedding", "vid", tau=0.5))
-    assert "probes" in lo and "_band" not in lo
+    assert "probes" in lo and "_keys" not in lo
 
 
 def test_lsh_params_for_tau():

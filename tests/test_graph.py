@@ -1,0 +1,69 @@
+"""Graph analytics (operators/graph.py): fixed-point PageRank vs a
+pure-Python replication, and vs float PageRank for ranking agreement."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+from cli_p_spark.operators.graph import (
+    DAMPING_PPM,
+    UNIT,
+    degree_stats,
+    pagerank_fixed_point,
+)
+
+
+def _py_pagerank_fp(edges, iterations=5, unit=UNIT, damping_ppm=DAMPING_PPM):
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    outdeg = defaultdict(int)
+    for u, _ in edges:
+        outdeg[u] += 1
+    base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
+    r = {n: unit for n in nodes}
+    for _ in range(iterations):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {n: base + (damping_ppm * s[n]) // 1_000_000 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_python_exactly(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(400)
+        }
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df).collect()
+    }
+    assert got == _py_pagerank_fp(edges)
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    # star: everyone links to 'hub'; hub links to one spoke
+    edges = [(f"s{i}", "hub") for i in range(20)] + [("hub", "s0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(df).collect()
+    }
+    assert ranks["hub"] == max(ranks.values())
+    assert ranks["s0"] > ranks["s1"]  # s0 receives the hub's mass
+    # all spokes but s0 are structurally identical -> identical ranks
+    assert len({ranks[f"s{i}"] for i in range(1, 20)}) == 1
+
+
+def test_degree_stats(spark):
+    edges = [("a", "b"), ("a", "c"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["degree"]: r["n_nodes"] for r in degree_stats(df).collect()}
+    # degrees: a=2 (out), b=2 (1 in + 1 out), c=2 (in) -> all degree 2
+    assert got == {2: 3}

@@ -36,6 +36,8 @@ def main():
         "range_join_ship_lag",
         "minhash_dedup_pairs",
         "embedding_neardup_cosine",
+        "doc_repetition_stats",
+        "corpus_pack_sequences",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
