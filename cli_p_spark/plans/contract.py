@@ -2001,6 +2001,28 @@ FROM packed GROUP BY 1, 2
 """
 
 
+def kg_pagerank(spark, sf_dir):
+    """Entity importance over the materialized triple graph: fixed-point
+    integer PageRank (bit-exact across engines BY CONSTRUCTION — integer
+    micro-units, no float summation order; see operators/graph.py) on
+    the staged (subj -> obj) edges of the exact-linked triples."""
+    from ..operators.graph import pagerank_fixed_point
+
+    edges = _stage(
+        kg_triples_exact(spark, sf_dir)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct(),
+        "kg_pr_edges",
+    )
+    return pagerank_fixed_point(edges)
+
+
+def _kg_pagerank_sql() -> str:
+    from ..operators.graph import pagerank_sql
+
+    return pagerank_sql(_staged_sql("kg_pr_edges"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2018,6 +2040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_ann": kg_triples_ann,
     "kg_canonical_triples": kg_canonical_triples,
     "kg_skips_quarantine": kg_skips_quarantine,
+    "kg_pagerank": kg_pagerank,
     "kg_span_roundtrip": kg_span_roundtrip,
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
@@ -2034,7 +2057,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_lineitem_flags": rollup_lineitem_flags,
     "string_funcs_part": string_funcs_part,
     "date_funcs_orders_monthly": date_funcs_orders_monthly,
-    "case_when_conditional_agg": case_when_conditional_agg,
     "events_user_activity": events_user_activity,
     "events_lag_gap": events_lag_gap,
     "events_sessionization": events_sessionization,
@@ -2070,6 +2092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
     "cube_orders_status_priority": cube_orders_status_priority,
     "sort_limit_top_orders": sort_limit_top_orders,
+    "case_when_conditional_agg": case_when_conditional_agg,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -2139,6 +2162,7 @@ ORACLES: dict[str, str] = {
     "kg_span_roundtrip": _kg_span_sql(),
     "media_decode_stats": _media_decode_sql(),
     "media_frame_plan": _media_frame_sql(),
+    "kg_pagerank": _kg_pagerank_sql(),
     # Every QUERIES entry now has a DuckDB twin.  The staged-parquet
     # oracles are written by the Spark query, then DuckDB re-derives the
     # result from the same bytes (Spark must run first per entry — both
