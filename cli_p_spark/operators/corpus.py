@@ -135,6 +135,48 @@ def deterministic_split(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame, content_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf — the document-tagging
+    / topic-sketching pass of corpus triage.
+
+    Scoring uses the log-free form score = tf * N / df (same ranking as
+    tf * log-idf for a fixed doc since log is monotone in N/df, but ONE
+    f64 division instead of a transcendental — libm log differs across
+    engines in the last ulp, a single division does not, which is what
+    keeps this hash-oracle-able).  Ties break by term ascending: a total
+    (score, term) order per doc, so top-k is deterministic.
+
+    Shape: one explode, two partial-agg groupBys, a per-doc window
+    (bounded partition: a doc's distinct terms), and the doc-frequency
+    side joins back on term — no driver-side vocabulary."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(content_col)), " ")).alias("_term"),
+    )
+    tf = toks.groupBy("_id", "_term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    n = df.select(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("_term").asc()
+    )
+    return (
+        tf.join(dfreq, "_term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("_n")).cast("double") / F.col("_df"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_id").alias(id_col), F.col("_term").alias("term"),
+            "tf", "score",
+        )
+    )
+
+
 def _rate_to_hex(rate: float, digits: int = 4) -> str:
     """Lexicographic md5-prefix threshold for a keep-rate: the first
     ``digits`` hex chars of md5 are uniform over 16^digits values, so

@@ -2001,6 +2001,34 @@ FROM packed GROUP BY 1, 2
 """
 
 
+def doc_tfidf_keywords(spark, sf_dir):
+    """Top-3 tf-idf keywords per document (log-free score = tf*N/df:
+    one f64 division, no libm transcendental — hash-oracle-able; same
+    per-doc ranking as log-idf)."""
+    from ..operators.corpus import tfidf_keywords
+
+    return tfidf_keywords(_docs_as_text(spark, sf_dir), "text", "doc_id")
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, term, tf,
+         CAST(tf * n.n AS DOUBLE) / df AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(tf * n.n AS DOUBLE) / df DESC, term) AS rn
+  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, score FROM s WHERE rn <= 3
+"""
+
+
 def kg_pagerank(spark, sf_dir):
     """Entity importance over the materialized triple graph: fixed-point
     integer PageRank (bit-exact across engines BY CONSTRUCTION — integer
@@ -2052,7 +2080,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
     "window_topk_orders_per_cust": window_topk_orders_per_cust,
-    "agg_count_distinct": agg_count_distinct,
     "union_dedup_nationkeys": union_dedup_nationkeys,
     "rollup_lineitem_flags": rollup_lineitem_flags,
     "string_funcs_part": string_funcs_part,
@@ -2065,6 +2092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_quality_score": doc_quality_score,
     "doc_repetition_stats": doc_repetition_stats,
+    "doc_tfidf_keywords": doc_tfidf_keywords,
     "corpus_split_stats": corpus_split_stats,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_mix_stats": corpus_mix_stats,
@@ -2093,6 +2121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders_status_priority": cube_orders_status_priority,
     "sort_limit_top_orders": sort_limit_top_orders,
     "case_when_conditional_agg": case_when_conditional_agg,
+    "agg_count_distinct": agg_count_distinct,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -2136,6 +2165,7 @@ ORACLES: dict[str, str] = {
     "scalar_subquery_above_avg": SCALAR_SUBQ_SQL,
     "having_big_customers": HAVING_SQL,
     "doc_repetition_stats": REPETITION_SQL,
+    "doc_tfidf_keywords": TFIDF_SQL,
     "corpus_split_stats": SPLIT_SQL,
     "corpus_pack_sequences": PACK_SQL,
     "corpus_mix_stats": _mix_sql(),

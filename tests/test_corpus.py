@@ -153,6 +153,42 @@ def test_mix_sample_matches_md5_thresholds(spark):
     assert a_keep - a_train and a_train - a_keep
 
 
+def test_tfidf_keywords_matches_python_oracle(spark):
+    from cli_p_spark.operators.corpus import tfidf_keywords
+
+    docs = [
+        ("d1", "apple apple banana cherry"),
+        ("d2", "banana banana banana cherry"),
+        ("d3", "cherry date elderberry apple"),
+        ("d4", "fig fig fig fig"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score"])
+        for r in tfidf_keywords(df, "text", "doc_id", k=2).collect()
+    }
+
+    n = len(docs)
+    tf = {
+        (d, t): txt.split().count(t)
+        for d, txt in docs for t in set(txt.split())
+    }
+    dfreq = Counter(t for _, t in tf)
+    exp = {}
+    for d, _txt in docs:
+        terms = [t for (dd, t) in tf if dd == d]
+        scored = sorted(
+            terms,
+            key=lambda t: (-(tf[(d, t)] * n) / dfreq[t], t),
+        )[:2]
+        for t in scored:
+            exp[(d, t)] = (tf[(d, t)], (tf[(d, t)] * n) / dfreq[t])
+    assert got == exp
+    # rare term beats common term at equal tf: d3's 'date'/'elderberry'
+    # (df=1) outrank 'apple'/'cherry' (df>=3)
+    assert ("d3", "date") in got and ("d3", "apple") not in got
+
+
 def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
     budget = 64
     df = spark.createDataFrame(
