@@ -63,6 +63,7 @@ HEADLINE = [
     "minhash_dedup_pairs",
     "simhash_dedup_pairs",
     "events_lag_gap",
+    "doc_repetition_stats",
 ]
 
 _CORPUS_CACHE: dict[int, str] = {}

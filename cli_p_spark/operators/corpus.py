@@ -45,7 +45,7 @@ def _word_grams(toks: Column, n: int) -> Column:
 
 
 def repetition_stats(
-    df: DataFrame, content_col: str, id_col: str
+    df: DataFrame, content_col: str, id_col: str, parts: int | None = None
 ) -> DataFrame:
     """Per-document repetition metrics (Gopher-family quality filters,
     Rae et al. 2021 'Scaling Language Models', Table A1 — adapted to
@@ -59,12 +59,20 @@ def repetition_stats(
 
     High values mark boilerplate/degenerate docs a curation pass drops.
     NULL metric when the doc is too short to have that gram size
-    (identical semantics in the SQL oracle)."""
+    (identical semantics in the SQL oracle).
+
+    ``parts``: explicit pre-explode repartition width (default: the
+    cluster's defaultParallelism).  The gram explode multiplies rows
+    ~3L× and dominates the cost, but a small input table may scan as a
+    handful of partitions — without the repartition the expensive stage
+    runs on those few cores (measured 4.5 s -> 0.7 s at sf0.1 on
+    local[32], where the 5k-doc parquet scanned as 2 partitions)."""
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
     toks = F.split(F.col(content_col), " ")
     grams = F.flatten(
         F.array(*[_word_grams(toks, n) for n in (1, 2, 3)])
     )
-    exploded = df.select(
+    exploded = df.repartition(parts).select(
         F.col(id_col).alias("_id"), F.explode(grams).alias("x")
     ).select("_id", F.col("x.n").alias("_n"), F.col("x.g").alias("_g"))
     counts = exploded.groupBy("_id", "_n", "_g").agg(
@@ -136,7 +144,11 @@ def deterministic_split(
 
 
 def tfidf_keywords(
-    df: DataFrame, content_col: str, id_col: str, k: int = 3
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    k: int = 3,
+    parts: int | None = None,
 ) -> DataFrame:
     """Top-``k`` keywords per document by tf-idf — the document-tagging
     / topic-sketching pass of corpus triage.
@@ -150,7 +162,11 @@ def tfidf_keywords(
 
     Shape: one explode, two partial-agg groupBys, a per-doc window
     (bounded partition: a doc's distinct terms), and the doc-frequency
-    side joins back on term — no driver-side vocabulary."""
+    side joins back on term — no driver-side vocabulary.  ``parts``
+    spreads the token explode past a narrow input scan (see
+    repetition_stats)."""
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parts)
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.col(content_col)), " ")).alias("_term"),
