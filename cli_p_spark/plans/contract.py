@@ -2029,6 +2029,44 @@ SELECT doc_id, term, tf, score FROM s WHERE rn <= 3
 """
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join (nearest prior event): every click joined to the
+    user's latest purchase at or before the click.  Spark has no ASOF
+    operator — this is the union-window implementation
+    (operators/asof.py: one shuffle, zero Python, linear); the oracle is
+    DuckDB's NATIVE `ASOF LEFT JOIN`, so the hash check proves the
+    implementation reproduces the canonical semantics exactly,
+    including same-timestamp inclusivity and unmatched-left NULLs."""
+    from ..operators.asof import asof_join, dedup_right_latest
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = dedup_right_latest(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id"], "ts", "event_id",
+    )
+    return asof_join(left, right, ["user_id"], "ts", ["event_id", "value"])
+
+
+ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS event_id_asof, r.value AS value_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def kg_pagerank(spark, sf_dir):
     """Entity importance over the materialized triple graph: fixed-point
     integer PageRank (bit-exact across engines BY CONSTRUCTION — integer
@@ -2082,11 +2120,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_topk_orders_per_cust": window_topk_orders_per_cust,
     "union_dedup_nationkeys": union_dedup_nationkeys,
     "rollup_lineitem_flags": rollup_lineitem_flags,
-    "string_funcs_part": string_funcs_part,
     "date_funcs_orders_monthly": date_funcs_orders_monthly,
     "events_user_activity": events_user_activity,
     "events_lag_gap": events_lag_gap,
     "events_sessionization": events_sessionization,
+    "events_asof_join": events_asof_join,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -2122,6 +2160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_limit_top_orders": sort_limit_top_orders,
     "case_when_conditional_agg": case_when_conditional_agg,
     "agg_count_distinct": agg_count_distinct,
+    "string_funcs_part": string_funcs_part,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -2149,6 +2188,7 @@ ORACLES: dict[str, str] = {
     "events_user_activity": EVENTS_AGG_SQL,
     "events_lag_gap": EVENTS_LAG_SQL,
     "events_sessionization": SESSIONIZE_SQL,
+    "events_asof_join": ASOF_SQL,
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
     "doc_bpe_token_stats": _bpe_sql(),
