@@ -38,6 +38,7 @@ def main():
         "embedding_neardup_cosine",
         "doc_repetition_stats",
         "corpus_pack_sequences",
+        "events_asof_join",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
