@@ -2029,6 +2029,46 @@ SELECT doc_id, term, tf, score FROM s WHERE rn <= 3
 """
 
 
+def hll_distinct_orderkeys(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-orderkey estimate per return
+    flag (operators/sketch.py), next to the exact count: register math
+    is integer-exact over staged xxhash64 values and the estimate is one
+    f64 division, so the DuckDB replay of the same staged hashes is
+    bit-identical — estimate AND error are hash-checked.  (~11k distinct
+    per flag at sf0.01: above the raw-HLL small-range regime, expected
+    error ~3% at m=1024.  Production at 100 TB: Spark's built-in
+    approx_count_distinct — same algorithm, JVM-private registers; this
+    entry proves the sketch family is implemented and exact-checkable.)"""
+    from ..operators.sketch import hll_from_hashes
+
+    li = _t(spark, sf_dir, "lineitem")
+    hashed = _stage(
+        li.select(
+            "l_returnflag", F.xxhash64("l_orderkey").alias("okhash")
+        ),
+        "hll_hashes",
+    )
+    est = hll_from_hashes(hashed, "okhash", ["l_returnflag"], log2m=10)
+    exact = hashed.groupBy("l_returnflag").agg(
+        F.countDistinct("okhash").alias("n_exact")
+    )
+    return est.join(exact, "l_returnflag")
+
+
+def _hll_sql() -> str:
+    from ..operators.sketch import hll_sql
+
+    inner = hll_sql(
+        _staged_sql("hll_hashes"), "okhash", ["l_returnflag"], log2m=10
+    )
+    return f"""
+SELECT e.l_returnflag, e.hll_estimate, x.n_exact
+FROM ({inner}) e
+JOIN (SELECT l_returnflag, COUNT(DISTINCT okhash) AS n_exact
+      FROM {_staged_sql('hll_hashes')} GROUP BY 1) x USING (l_returnflag)
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join (nearest prior event): every click joined to the
     user's latest purchase at or before the click.  Spark has no ASOF
@@ -2125,6 +2165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lag_gap": events_lag_gap,
     "events_sessionization": events_sessionization,
     "events_asof_join": events_asof_join,
+    "hll_distinct_orderkeys": hll_distinct_orderkeys,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -2137,7 +2178,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "embedding_norm_stats": embedding_norm_stats,
     "doc_pii_scrub": doc_pii_scrub,
-    "percentiles_lineitem": percentiles_lineitem,
     "doc_contamination_probes": doc_contamination_probes,
     "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
@@ -2161,6 +2201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "case_when_conditional_agg": case_when_conditional_agg,
     "agg_count_distinct": agg_count_distinct,
     "string_funcs_part": string_funcs_part,
+    "percentiles_lineitem": percentiles_lineitem,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -2189,6 +2230,7 @@ ORACLES: dict[str, str] = {
     "events_lag_gap": EVENTS_LAG_SQL,
     "events_sessionization": SESSIONIZE_SQL,
     "events_asof_join": ASOF_SQL,
+    "hll_distinct_orderkeys": _hll_sql(),
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
     "doc_bpe_token_stats": _bpe_sql(),

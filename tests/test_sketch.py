@@ -1,0 +1,65 @@
+"""Deterministic HLL (operators/sketch.py): pure-Python register-math
+replication over the same hashes, and accuracy within the standard
+HLL error bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cli_p_spark.operators.sketch import (
+    RANK_CAP,
+    _alpha,
+    hll_distinct,
+    hll_from_hashes,
+)
+
+
+def _py_hll(hashes, log2m=10):
+    m = 1 << log2m
+    regs = {}
+    for h in hashes:
+        b = h % m  # python % is already nonnegative for positive m
+        rest = (h >> log2m) & ((1 << (64 - log2m)) - 1)
+        if rest == 0:
+            r = RANK_CAP
+        else:
+            r = min((rest & -rest).bit_length(), RANK_CAP)
+        regs[b] = max(regs.get(b, 0), r)
+    s = sum(1 << (RANK_CAP - r) for r in regs.values())
+    s += (m - len(regs)) * (1 << RANK_CAP)
+    return float(repr(_alpha(m) * m * m * float(1 << RANK_CAP))) / float(s)
+
+
+def test_hll_matches_python_register_math(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(5000)], "user_id long"
+    ).select("user_id", F.xxhash64("user_id").alias("h"))
+    hashes = [r["h"] & ((1 << 64) - 1) for r in df.select("h").collect()]
+    got = hll_from_hashes(df, "h").collect()[0]["hll_estimate"]
+    assert got == _py_hll(hashes)
+
+
+def test_hll_accuracy_and_grouping(spark):
+    # two groups with known cardinalities ABOVE the small-range regime
+    # (raw HLL is biased below ~2.5m = 2560 distinct; the linear-
+    # counting correction is deliberately omitted — needs ln(), see
+    # module docstring).  Estimate within 4 standard errors
+    # (4 * 1.04/sqrt(1024) ~ 13%).
+    rows = [("a", i) for i in range(20000)] + [
+        ("b", i % 4000) for i in range(9000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, user_id long")
+    got = {
+        r["grp"]: r["hll_estimate"]
+        for r in hll_distinct(df, "user_id", ["grp"]).collect()
+    }
+    assert abs(got["a"] - 20000) / 20000 < 0.13
+    assert abs(got["b"] - 4000) / 4000 < 0.13
+    # duplicates do not move the estimate: a pure function of the
+    # distinct hash set
+    dup = spark.createDataFrame(rows + rows, "grp string, user_id long")
+    got_dup = {
+        r["grp"]: r["hll_estimate"]
+        for r in hll_distinct(dup, "user_id", ["grp"]).collect()
+    }
+    assert got_dup == got
