@@ -108,6 +108,125 @@ def hll_from_hashes(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """(group_cols..., q, quantile_est) — approximate quantiles from a
+    fixed-range equi-width histogram, the float-drift-free alternative
+    to t-digest/GK sketches: the histogram is an INTEGER object (bin
+    counts), so it shuffles as groups × bins rows regardless of input
+    size, merges by addition, and the only float work is one injected
+    bin-width literal plus a fixed interpolation expression tree —
+    identical on any engine.  Error bound: one bin width.
+
+    ``lo``/``hi`` fix the range up front (the streaming/mergeable form;
+    out-of-range values clamp into the end bins — choose a generous
+    range, accuracy degrades only via wasted bins).  Estimate: linear
+    interpolation within the first bin whose cumulative count reaches
+    q*n."""
+    gcols = list(group_cols or [])
+    width = repr((hi - lo) / bins)
+    x = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(
+            F.floor((x - F.lit(float(repr(lo)))) / F.lit(float(width))),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    )
+    hist = (
+        df.select(*gcols, b.alias("_bin"))
+        .groupBy(*gcols, "_bin")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy(*gcols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*gcols)
+    hist = hist.withColumn("_cum", F.sum("_cnt").over(wc)).withColumn(
+        "_n", F.sum("_cnt").over(wn)
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    hit = hist.crossJoin(F.broadcast(qdf)).filter(
+        F.col("_cum").cast("double") >= F.col("q") * F.col("_n")
+    )
+    first = hit.groupBy(*gcols, "q").agg(
+        F.min("_bin").alias("_b"),
+        F.min_by("_cum", "_bin").alias("_c"),
+        F.min_by("_cnt", "_bin").alias("_k"),
+        F.max("_n").alias("_nn"),
+    )
+    frac = (
+        F.col("q") * F.col("_nn") - (F.col("_c") - F.col("_k"))
+    ) / F.col("_k")
+    est = F.lit(float(repr(lo))) + F.lit(float(width)) * (
+        F.col("_b") + frac
+    )
+    return first.select(*gcols, "q", est.alias("quantile_est"))
+
+
+def histogram_quantiles_sql(
+    source_rel: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> str:
+    """DuckDB twin of histogram_quantiles — same injected width literal,
+    same interpolation expression tree (windowed SUMs cast back to
+    BIGINT: DuckDB widens to HUGEINT)."""
+    gcols = list(group_cols or [])
+    width = repr((hi - lo) / bins)
+    lor = repr(lo)
+    gsel = "".join(f"{c}, " for c in gcols)
+    part = ("PARTITION BY " + ", ".join(gcols)) if gcols else ""
+    # CAST each q: a bare 0.5 literal is DECIMAL(3,2) in DuckDB, which
+    # silently switches q*n to decimal arithmetic (diverges from Spark's
+    # double tree in both repr and rounding)
+    qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+WITH binned AS (
+  SELECT {gsel}
+         LEAST(GREATEST(CAST(FLOOR((CAST({value_col} AS DOUBLE) - {lor})
+                                   / {width}) AS BIGINT), 0),
+               {bins - 1}) AS bin
+  FROM {source_rel}),
+hist AS (SELECT {gsel} bin, COUNT(*) AS cnt FROM binned
+         GROUP BY {gsel} bin),
+cum AS (
+  SELECT {gsel} bin, cnt,
+         CAST(SUM(cnt) OVER ({part} ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER ({part}) AS BIGINT) AS n
+  FROM hist),
+hit AS (
+  SELECT {gsel} q, bin, cnt, c, n
+  FROM cum CROSS JOIN (SELECT unnest([{qlist}]) AS q)
+  WHERE CAST(c AS DOUBLE) >= q * n),
+first AS (
+  SELECT {gsel} q, MIN(bin) AS b, MIN_BY(c, bin) AS c,
+         MIN_BY(cnt, bin) AS k, MAX(n) AS nn
+  FROM hit GROUP BY {gsel} q)
+SELECT {gsel} q,
+       {lor} + {width} * (b + (q * nn - (c - k)) / k) AS quantile_est
+FROM first
+"""
+
+
 def hll_sql(
     source_rel: str,
     key_hash_col: str,

@@ -2069,6 +2069,30 @@ JOIN (SELECT l_returnflag, COUNT(DISTINCT okhash) AS n_exact
 """
 
 
+def histogram_quantiles_price(spark, sf_dir):
+    """Approximate p50/p95 of extended price per return flag from a
+    fixed-range equi-width histogram (operators/sketch.py): the
+    integer-histogram quantile sketch — mergeable, groups×bins shuffle
+    rows, error one bin width — with an identical interpolation
+    expression tree on both engines (no t-digest float drift)."""
+    from ..operators.sketch import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", ["l_returnflag"],
+        qs=(0.5, 0.95), bins=256, lo=900.0, hi=105000.0,
+    )
+
+
+def _histq_sql() -> str:
+    from ..operators.sketch import histogram_quantiles_sql
+
+    return histogram_quantiles_sql(
+        "lineitem", "l_extendedprice", ["l_returnflag"],
+        qs=(0.5, 0.95), bins=256, lo=900.0, hi=105000.0,
+    )
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join (nearest prior event): every click joined to the
     user's latest purchase at or before the click.  Spark has no ASOF
@@ -2166,8 +2190,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionization": events_sessionization,
     "events_asof_join": events_asof_join,
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
+    "histogram_quantiles_price": histogram_quantiles_price,
     "doc_exact_dedup": doc_exact_dedup,
-    "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_quality_score": doc_quality_score,
     "doc_repetition_stats": doc_repetition_stats,
@@ -2202,6 +2226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_count_distinct": agg_count_distinct,
     "string_funcs_part": string_funcs_part,
     "percentiles_lineitem": percentiles_lineitem,
+    "doc_token_stats": doc_token_stats,
     "except_customer_only_nations": except_customer_only_nations,
     "intersect_nations": intersect_nations,
     "scalar_subquery_above_avg": scalar_subquery_above_avg,
@@ -2231,6 +2256,7 @@ ORACLES: dict[str, str] = {
     "events_sessionization": SESSIONIZE_SQL,
     "events_asof_join": ASOF_SQL,
     "hll_distinct_orderkeys": _hll_sql(),
+    "histogram_quantiles_price": _histq_sql(),
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
     "doc_bpe_token_stats": _bpe_sql(),

@@ -39,6 +39,44 @@ def test_hll_matches_python_register_math(spark):
     assert got == _py_hll(hashes)
 
 
+def test_histogram_quantiles_match_python_and_exact(spark):
+    import random
+
+    from cli_p_spark.operators.sketch import histogram_quantiles
+
+    rng = random.Random(11)
+    lo, hi, bins = 0.0, 100.0, 200
+    vals = [rng.uniform(5, 95) for _ in range(8000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in histogram_quantiles(
+            df, "x", qs=(0.5, 0.9), bins=bins, lo=lo, hi=hi
+        ).collect()
+    }
+
+    # pure-Python replication of the sketch (same width literal, same
+    # interpolation tree)
+    width = float(repr((hi - lo) / bins))
+    hist = {}
+    for v in vals:
+        b = min(max(int((v - lo) // width), 0), bins - 1)
+        hist[b] = hist.get(b, 0) + 1
+    n = len(vals)
+    for q in (0.5, 0.9):
+        cum = 0
+        for b in sorted(hist):
+            k = hist[b]
+            cum += k
+            if float(cum) >= q * n:
+                exp = lo + width * (b + (q * n - (cum - k)) / k)
+                break
+        assert got[q] == exp, (q, got[q], exp)
+        # within one bin width of the exact empirical quantile
+        exact = sorted(vals)[int(q * n)]
+        assert abs(got[q] - exact) <= width + 1e-9
+
+
 def test_hll_accuracy_and_grouping(spark):
     # two groups with known cardinalities ABOVE the small-range regime
     # (raw HLL is biased below ~2.5m = 2560 distinct; the linear-
