@@ -299,6 +299,19 @@ def main():
     results: dict[str, float] = {}
     extra: dict = {}
 
+    # VM-noise self-diagnosis: the q1_double plan (unchanged since round
+    # 2, ~0.4 s idle at sf0.1) is re-timed at several points ACROSS the
+    # bench run; the min/max band it spans is recorded in the JSON.  A
+    # driver-recorded slowdown that tracks the band (max/min spread) is
+    # neighbor load on the shared VM, not a plan regression — the record
+    # argues this itself instead of needing an idle re-run each round.
+    noise_samples: list[float] = []
+
+    def _noise_probe(sess):
+        t0 = time.time()
+        _q1_double(sess, SF_DIR).collect()
+        noise_samples.append(round(time.time() - t0, 3))
+
     # --- main session: generate corpora, headline queries, KG headline ---
     spark = _session(CPUS)
     _corpus_path(spark, ents_pdf, N_DOCS)
@@ -314,11 +327,10 @@ def main():
 
     # decimal-aggregation cost probe: q1 with raw double sums on the same
     # scan — quantifies what the round-2 decimal hash-exactness trade
-    # costs (recorded as extra, not a headline query).
+    # costs (recorded as extra, not a headline query).  Doubles as the
+    # first noise-band sample (warm first).
     _q1_double(spark, SF_DIR).collect()
-    t0 = time.time()
-    _q1_double(spark, SF_DIR).collect()
-    extra["q1_double_sec"] = round(time.time() - t0, 3)
+    _noise_probe(spark)
 
     _kg_job(spark, ents_pdf, 2000, CPUS)  # warm python workers
     wall, n_triples = _kg_job(spark, ents_pdf, N_DOCS, CPUS)
@@ -327,9 +339,11 @@ def main():
     extra["kg_docs_per_s"] = round(N_DOCS / wall, 1)
     extra["kg_n_docs"] = N_DOCS
     extra["kg_n_triples"] = n_triples
+    _noise_probe(spark)
 
     if RUN_512D:
         extra["dim512"] = _dim512_job(spark)
+        _noise_probe(spark)
 
     if RUN_CANON:
         # min of 2 (same policy as kg_pipeline): first run pays JIT +
@@ -338,6 +352,19 @@ def main():
         results["canon_pipeline"], extra["canon"] = min(
             runs, key=lambda r: r[0]
         )
+        _noise_probe(spark)
+
+    extra["q1_double_sec"] = min(noise_samples)
+    extra["noise_band"] = {
+        "probe": "q1_double",
+        "samples_sec": noise_samples,
+        "min": min(noise_samples),
+        "max": max(noise_samples),
+        "spread": round(max(noise_samples) / min(noise_samples), 2),
+    }
+    extra["q1_decimal_over_double"] = round(
+        results["q1_pricing_summary"] / min(noise_samples), 2
+    )
     spark.stop()
 
     # --- scaling evidence: same KG job, same input, N vs 4N cores,

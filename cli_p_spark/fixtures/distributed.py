@@ -132,14 +132,19 @@ def distributed_mentions(
                 else:
                     c = m // cw_
                     if c not in cluster_base:
+                        # bound worker memory: evict BEFORE inserting, so
+                        # the entry just added survives for the lookup
+                        # below (clearing after insert KeyErrors once a
+                        # partition sees >100k distinct clusters);
+                        # regeneration is deterministic, values unchanged
+                        if len(cluster_base) > 100_000:
+                            cluster_base.clear()
                         crng = np.random.default_rng(
                             (seed_ << 32) ^ (c * 2654435761)
                         )
                         cluster_base[c] = (
                             crng.random() < df_, crng.standard_normal(d_)
                         )
-                        if len(cluster_base) > 100_000:
-                            cluster_base.clear()  # bound worker memory
                     is_dup, base = cluster_base[c]
                     grps[j] = c % ng_
                 v = base + jit_ * mrng.standard_normal(d_) if is_dup \

@@ -412,8 +412,13 @@ def save_index(
     from ..plans.tables import TableStore
 
     if isinstance(entities, pd.DataFrame):
+        # Python-native rows: an Arrow-less session's row verifier rejects
+        # numpy.float32 cells, so never feed numpy arrays to createDataFrame.
         entities = spark.createDataFrame(
-            entities[["entity_id", "embedding"]],
+            [
+                (str(i), [float(x) for x in v])
+                for i, v in zip(entities["entity_id"], entities["embedding"])
+            ],
             "entity_id string, embedding array<float>",
         )
     store = TableStore(spark, base_dir)

@@ -153,12 +153,17 @@ def tfidf_keywords(
     """Top-``k`` keywords per document by tf-idf — the document-tagging
     / topic-sketching pass of corpus triage.
 
-    Scoring uses the log-free form score = tf * N / df (same ranking as
-    tf * log-idf for a fixed doc since log is monotone in N/df, but ONE
-    f64 division instead of a transcendental — libm log differs across
-    engines in the last ulp, a single division does not, which is what
-    keeps this hash-oracle-able).  Ties break by term ascending: a total
-    (score, term) order per doc, so top-k is deterministic.
+    Scoring uses the log-free form score = tf * N / df — a DISTINCT
+    (linear-idf) score chosen because ONE f64 division is bit-exact
+    cross-engine while libm log differs in the last ulp (the
+    hash-oracle-ability requirement).  It is NOT ranking-equivalent to
+    standard tf * log(N/df) in general: the equivalence holds only
+    between terms of EQUAL tf (log is monotone in N/df), but across
+    unequal tfs the two scores can order differently (tf=1,df=1 vs
+    tf=10,df=N/2), so the top-k can differ from log-idf tf-idf.  In
+    practice it favors rarer terms slightly more aggressively.  Ties
+    break by term ascending: a total (score, term) order per doc, so
+    top-k is deterministic.
 
     Shape: one explode, two partial-agg groupBys, a per-doc window
     (bounded partition: a doc's distinct terms), and the doc-frequency

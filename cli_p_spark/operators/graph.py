@@ -49,6 +49,8 @@ def pagerank_fixed_point(
     iterations: int = 5,
     unit: int = UNIT,
     damping_ppm: int = DAMPING_PPM,
+    checkpoint_every: int = 5,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` synchronous PageRank updates
     in integer micro-units (see module docstring for why integer):
@@ -60,16 +62,29 @@ def pagerank_fixed_point(
     Every node starts at ``unit``.  Dangling-node mass (no out-edges)
     evaporates, the common simplification (Page et al. 1999 §2.1 note);
     ranks remain a total preorder of link importance.  rank_fp / unit is
-    the float rank."""
+    the float rank.
+
+    Iteration-loop scale shape: each loop turn adds two joins + one agg
+    to the rank frame's lineage; unbroken, the final action replays a
+    2*k-join DAG and the plan tree grows without bound (the exact blowup
+    connected_components already breaks with its checkpointer).  So the
+    static inputs (edges, nodes, outdeg) are persisted ONCE, and the
+    rank frame's lineage is cut every ``checkpoint_every`` iterations
+    via ccomp's `_checkpointer` (mode semantics identical: 'reliable'
+    for cluster runs with a checkpoint dir, 'local' single-machine,
+    'auto' picks).  Checkpointing is a lineage/plan concern only — the
+    integer ranks are bit-identical with or without it."""
+    from .ccomp import _checkpointer
+
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    )
-    nodes = graph_nodes(e, "_src", "_dst")
-    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    ).persist()
+    nodes = graph_nodes(e, "_src", "_dst").persist()
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
 
     r = nodes.select("node", F.lit(unit).cast("long").alias("rank_fp"))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contribs = (
             e.join(r, e["_src"] == r["node"])
             .join(outdeg, "_src")
@@ -88,6 +103,13 @@ def pagerank_fixed_point(
                 )
             ).cast("long").alias("rank_fp"),
         )
+        if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
+            r = _checkpointer(r, checkpoint)
+    from .lsh import _CacheHandle
+
+    # caller unpersists the static-input caches once ranks are
+    # materialized (same convention as lsh/minhash `.signature_cache`)
+    r.pagerank_cache = _CacheHandle(e, nodes, outdeg)
     return r
 
 

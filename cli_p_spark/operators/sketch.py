@@ -129,7 +129,13 @@ def histogram_quantiles(
     out-of-range values clamp into the end bins — choose a generous
     range, accuracy degrades only via wasted bins).  Estimate: linear
     interpolation within the first bin whose cumulative count reaches
-    q*n."""
+    q*n.
+
+    NULL values are EXCLUDED before binning (here and in the SQL twin):
+    binning NULL would create a NULL _bin group that still counts toward
+    n while the two engines order NULL bins differently in the
+    cumulative window (Spark NULLS FIRST, DuckDB NULLS LAST), silently
+    skewing and diverging the estimates."""
     gcols = list(group_cols or [])
     width = repr((hi - lo) / bins)
     x = F.col(value_col).cast("double")
@@ -141,7 +147,8 @@ def histogram_quantiles(
         F.lit(bins - 1),
     )
     hist = (
-        df.select(*gcols, b.alias("_bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, b.alias("_bin"))
         .groupBy(*gcols, "_bin")
         .agg(F.count(F.lit(1)).alias("_cnt"))
     )
@@ -203,7 +210,8 @@ WITH binned AS (
          LEAST(GREATEST(CAST(FLOOR((CAST({value_col} AS DOUBLE) - {lor})
                                    / {width}) AS BIGINT), 0),
                {bins - 1}) AS bin
-  FROM {source_rel}),
+  FROM {source_rel}
+  WHERE {value_col} IS NOT NULL),
 hist AS (SELECT {gsel} bin, COUNT(*) AS cnt FROM binned
          GROUP BY {gsel} bin),
 cum AS (

@@ -1364,8 +1364,15 @@ def knn_pq_rescore(spark, sf_dir):
     probes = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
+    # Python floats, not numpy cells: Arrow-on toPandas() hands back
+    # numpy arrays, and an Arrow-less session's row verifier rejects
+    # numpy.float32 — normalize so both session configs convert.
     entities = spark.createDataFrame(
-        cand_pdf, "entity_id string, embedding array<float>"
+        [
+            (str(i), [float(x) for x in v])
+            for i, v in zip(cand_pdf["entity_id"], cand_pdf["embedding"])
+        ],
+        "entity_id string, embedding array<float>",
     )
     links = link_pq(
         probes, entities, cand_pdf, books,
@@ -1765,17 +1772,18 @@ def kg_triples_ann(spark, sf_dir):
     staged_m = _stage(
         add_probes(mentions, centroids, nprobe=32), "kg_mentions_probes"
     )
-    assign = np.argmax(emat @ centroids.T, axis=1).astype(int)
-    cells_pdf = pd.DataFrame(
-        {
-            "entity_id": eids,
-            "embedding": [r.astype(np.float32) for r in emat],
-            "cell": assign,
-        }
-    )
+    assign = np.argmax(emat @ centroids.T, axis=1)
+    # Python-native cells ONLY: Arrow-less sessions (the external driver's)
+    # take createDataFrame's row-verifier path, which rejects numpy scalars
+    # (`FloatType() can not accept numpy.float32`) — .tolist() emits Python
+    # floats/ints so the conversion is session-config-independent.
+    cell_rows = [
+        (str(eids[i]), emat[i].astype(np.float32).tolist(), int(assign[i]))
+        for i in range(len(eids))
+    ]
     staged_e = _stage(
         spark.createDataFrame(
-            cells_pdf, "entity_id string, embedding array<float>, cell int"
+            cell_rows, "entity_id string, embedding array<float>, cell int"
         ),
         "kg_entities_cells",
     )
@@ -2186,6 +2194,15 @@ def _kg_pagerank_sql() -> str:
 # (set-ops by union/except→intersect, HAVING by agg entries, scalar
 # subqueries by q3/q5 joins) are demoted past position 50 — they stay
 # runnable via tools/check_contract.py --all.
+# Registry ordering = the external driver's audit window: it evaluates the
+# FIRST 50 entries each round; the tail is only checked locally
+# (tools/check_contract.py runs ALL entries, Arrow-off, strict floats).
+# ROTATION POLICY (round-4 onward): entries past the window MUST have a
+# driver CORRECTNESS row from the immediately previous round, and swap
+# back into the window the round after — so every entry is externally
+# audited at least every other round.  This round the 16 round-2/3-tail
+# entries (incl. never-audited corpus_sample_per_source) rotate IN; the
+# 16 demoted entries below were all driver-green in CORRECTNESS_r03.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "kg_triples_exact": kg_triples_exact,
@@ -2197,49 +2214,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
-    "filter_project_pushdown": filter_project_pushdown,
     "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
-    "q5_region_revenue": q5_region_revenue,
-    "join_broadcast_dims": join_broadcast_dims,
-    "semi_join_customers_with_orders": semi_join_customers_with_orders,
-    "anti_join_customers_without_orders": anti_join_customers_without_orders,
-    "window_topk_orders_per_cust": window_topk_orders_per_cust,
-    "union_dedup_nationkeys": union_dedup_nationkeys,
-    "rollup_lineitem_flags": rollup_lineitem_flags,
-    "date_funcs_orders_monthly": date_funcs_orders_monthly,
-    "events_user_activity": events_user_activity,
-    "events_lag_gap": events_lag_gap,
     "events_sessionization": events_sessionization,
     "events_asof_join": events_asof_join,
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
     "histogram_quantiles_price": histogram_quantiles_price,
     "doc_exact_dedup": doc_exact_dedup,
-    "doc_bpe_token_stats": doc_bpe_token_stats,
-    "doc_quality_score": doc_quality_score,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_tfidf_keywords": doc_tfidf_keywords,
     "corpus_split_stats": corpus_split_stats,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_mix_stats": corpus_mix_stats,
+    "corpus_sample_per_source": corpus_sample_per_source,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
-    "embedding_norm_stats": embedding_norm_stats,
+    "knn_ivf_exhaustive": knn_ivf_exhaustive,
+    "knn_pq_rescore": knn_pq_rescore,
+    "embedding_neardup_cosine": embedding_neardup_cosine,
+    "minhash_dedup_pairs": minhash_dedup_pairs,
+    "simhash_dedup_pairs": simhash_dedup_pairs,
+    "doc_winnow_neardup": doc_winnow_neardup,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
     "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
-    "doc_fingerprint_dedup": doc_fingerprint_dedup,
-    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
-    "minhash_dedup_pairs": minhash_dedup_pairs,
-    "simhash_dedup_pairs": simhash_dedup_pairs,
-    "doc_winnow_neardup": doc_winnow_neardup,
-    "embedding_neardup_cosine": embedding_neardup_cosine,
-    "knn_ivf_exhaustive": knn_ivf_exhaustive,
-    "knn_pq_rescore": knn_pq_rescore,
-    "events_json_extract": events_json_extract,
-    "range_join_ship_lag": range_join_ship_lag,
-    # --- past the driver's 50-entry window (redundant categories:
-    # joins/pivot covered by broadcast/semi/anti/range/q5 + rollup/cube
-    # entries above; all still run via tools/check_contract.py) ---
+    # rotated IN this round (tail since round 2/3):
     "left_outer_nation_customers": left_outer_nation_customers,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
     "cube_orders_status_priority": cube_orders_status_priority,
@@ -2255,7 +2255,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "having_big_customers": having_big_customers,
     "agg_nations_per_region": agg_nations_per_region,
     "window_running_total": window_running_total,
-    "corpus_sample_per_source": corpus_sample_per_source,
+    # ---- past the driver's 50-entry window: ALL driver-green in
+    # CORRECTNESS_r03; rotate back into the window next round ----
+    "filter_project_pushdown": filter_project_pushdown,
+    "q5_region_revenue": q5_region_revenue,
+    "join_broadcast_dims": join_broadcast_dims,
+    "semi_join_customers_with_orders": semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "window_topk_orders_per_cust": window_topk_orders_per_cust,
+    "union_dedup_nationkeys": union_dedup_nationkeys,
+    "rollup_lineitem_flags": rollup_lineitem_flags,
+    "date_funcs_orders_monthly": date_funcs_orders_monthly,
+    "events_user_activity": events_user_activity,
+    "events_lag_gap": events_lag_gap,
+    "events_json_extract": events_json_extract,
+    "range_join_ship_lag": range_join_ship_lag,
+    "doc_quality_score": doc_quality_score,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 
 ORACLES: dict[str, str] = {

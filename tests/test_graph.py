@@ -61,6 +61,39 @@ def test_pagerank_ranks_hub_highest(spark):
     assert len({ranks[f"s{i}"] for i in range(1, 20)}) == 1
 
 
+def test_pagerank_deep_iterations_bounded_plan(spark):
+    """30 iterations (real PageRank depth): the checkpointer must cut
+    lineage so the final plan holds at most `checkpoint_every`
+    iterations of joins — not the full 2*30-join DAG — while ranks stay
+    bit-identical to the pure-Python fold AND to the uncheckpointed
+    plan (checkpointing is a plan concern, never a value concern)."""
+    import time
+
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    t0 = time.monotonic()
+    deep = pagerank_fixed_point(df, iterations=30, checkpoint_every=5)
+    got = {r["node"]: r["rank_fp"] for r in deep.collect()}
+    elapsed = time.monotonic() - t0
+    assert got == _py_pagerank_fp(edges, iterations=30)
+    # bounded plan: the analyzed plan must be a short tail over a
+    # checkpoint scan, far smaller than the unbroken 30-iteration DAG
+    deep_plan = deep._jdf.queryExecution().analyzed().toString()
+    flat_plan = (
+        pagerank_fixed_point(df, iterations=30, checkpoint_every=0)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert len(deep_plan) < len(flat_plan) / 3
+    assert elapsed < 120  # lineage blowup shows up as minutes, not seconds
+    deep.pagerank_cache.unpersist()
+
+
 def test_degree_stats(spark):
     edges = [("a", "b"), ("a", "c"), ("b", "c")]
     df = spark.createDataFrame(edges, "src string, dst string")

@@ -101,3 +101,25 @@ def test_hll_accuracy_and_grouping(spark):
         for r in hll_distinct(dup, "user_id", ["grp"]).collect()
     }
     assert got_dup == got
+
+
+def test_histogram_quantiles_ignore_nulls(spark):
+    """NULL values must be excluded BEFORE binning: mixing them in
+    creates a NULL bin group that inflates n and sorts differently per
+    engine (Spark NULLS FIRST vs DuckDB NULLS LAST)."""
+    from cli_p_spark.operators.sketch import histogram_quantiles
+
+    vals = [float(v) for v in range(1, 101)]
+    rows = [(v,) for v in vals] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "x double")
+    clean = spark.createDataFrame([(v,) for v in vals], "x double")
+    args = dict(qs=(0.5, 0.95), bins=100, lo=0.0, hi=100.0)
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in histogram_quantiles(df, "x", **args).collect()
+    }
+    want = {
+        r["q"]: r["quantile_est"]
+        for r in histogram_quantiles(clean, "x", **args).collect()
+    }
+    assert got == want

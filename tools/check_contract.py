@@ -55,8 +55,18 @@ def main():
     import __spark_entry__ as entry_mod
     from cli_p_spark.session import get_spark
 
-    spark = get_spark(app="contract-check", master="local[8]",
-                      shuffle_partitions=8)
+    # Arrow DISABLED: the external driver's session leaves
+    # spark.sql.execution.arrow.pyspark.enabled at Spark's default (off),
+    # so createDataFrame/toPandas take the row-verifier path there.  Run
+    # the local gate on the SAME path — env-dependent conversion bugs
+    # (numpy.float32 cells, round-3's kg_triples_ann failure) must fail
+    # HERE first.  pandas UDFs still use Arrow regardless of this flag.
+    # Set CHECK_ARROW=1 to re-check the Arrow-on conversion path too.
+    arrow = "true" if os.environ.get("CHECK_ARROW") == "1" else "false"
+    spark = get_spark(
+        app="contract-check", master="local[8]", shuffle_partitions=8,
+        extra={"spark.sql.execution.arrow.pyspark.enabled": arrow},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
