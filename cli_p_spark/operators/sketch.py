@@ -273,3 +273,76 @@ SELECT {gsel}
                         AS DOUBLE) AS hll_estimate
 FROM s
 """
+
+
+# --- Count-Min frequency sketch (Cormode & Muthukrishnan 2005) ---------
+#
+# Same design policy as the HLL above: the sketch is an INTEGER object
+# (depth x width counter matrix as (j, pos, count) rows), built and
+# probed with pure Catalyst expressions over xxhash64, so Spark, DuckDB
+# (replaying staged positions) and a pure-Python loop agree bit-for-bit.
+# Guarantees: estimate >= true count always (no false negatives in the
+# heavy-hitter sense); overestimate <= 2N/width with prob 1 - 2^-depth.
+# Scale shape: the sketch is groups-free groupBy(j, pos) with map-side
+# partial counts — shuffle rows <= depth*width REGARDLESS of input rows;
+# merge = counter addition (associative), so per-partition / per-day
+# sketches combine by union + re-agg.
+
+
+def cms_positions(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    out_key: str = "_k",
+) -> DataFrame:
+    """(out_key, _j, _pos): the ``depth`` counter positions of each
+    input row — row j uses xxhash64(j, key) mod width.  Split out so a
+    staged-parquet oracle can replay the exact bytes (DuckDB has no
+    xxhash64)."""
+    arr = F.array(*[
+        F.struct(
+            F.lit(j).alias("_j"),
+            F.pmod(
+                F.xxhash64(F.lit(j), F.col(key_col)), F.lit(width)
+            ).alias("_pos"),
+        )
+        for j in range(depth)
+    ])
+    return df.select(
+        F.col(key_col).alias(out_key), F.explode(arr).alias("_e")
+    ).select(out_key, F.col("_e._j").alias("_j"), F.col("_e._pos").alias("_pos"))
+
+
+def cms_estimate(
+    corpus_positions: DataFrame,
+    candidate_positions: DataFrame,
+    key: str = "_k",
+) -> DataFrame:
+    """(key, cms_count): Count-Min estimate for each distinct candidate
+    key — min over depth rows of the counter each position lands in
+    (0 when nothing ever hit that counter)."""
+    sketch = corpus_positions.groupBy("_j", "_pos").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cand = candidate_positions.select(key, "_j", "_pos").distinct()
+    return (
+        cand.join(sketch, ["_j", "_pos"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("_c"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def cms_sql(
+    corpus_pos_rel: str, cand_pos_rel: str, key: str = "k"
+) -> str:
+    """DuckDB twin of cms_estimate over staged position relations
+    (corpus: (_j,_pos); candidates: (key,_j,_pos))."""
+    return f"""
+SELECT c.{key}, CAST(MIN(COALESCE(s.c, 0)) AS BIGINT) AS cms_count
+FROM (SELECT DISTINCT {key}, _j, _pos FROM {cand_pos_rel}) c
+LEFT JOIN (SELECT _j, _pos, COUNT(*) AS c FROM {corpus_pos_rel}
+           GROUP BY _j, _pos) s
+  ON s._j = c._j AND s._pos = c._pos
+GROUP BY c.{key}
+"""

@@ -2101,6 +2101,151 @@ def _histq_sql() -> str:
     )
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 2048
+
+
+def cms_heavy_tokens(spark, sf_dir):
+    """Count-Min frequency sketch (operators/sketch.py) estimating the
+    corpus counts of the exact top-15 tokens: (term, n_exact,
+    cms_count).  The sketch shuffles <= depth*width integer counters
+    regardless of corpus size and merges by addition; positions are
+    staged so the DuckDB replay is bit-identical, and the exact counts
+    recompute from the documents view on both engines (string_split
+    parity per doc_token_stats).  Completes the mergeable-sketch family:
+    HLL = cardinality, histogram = quantiles, CMS = frequency,
+    Bloom = membership."""
+    from ..operators.sketch import cms_estimate, cms_positions
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    corpus_pos = _stage(
+        cms_positions(toks, "term", _CMS_DEPTH, _CMS_WIDTH).select(
+            "_j", "_pos"
+        ),
+        "cms_corpus_pos",
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+        .limit(15)
+    )
+    cand_pos = _stage(
+        cms_positions(top, "term", _CMS_DEPTH, _CMS_WIDTH, out_key="term"),
+        "cms_cand_pos",
+    )
+    est = cms_estimate(corpus_pos, cand_pos, key="term")
+    return top.join(est, "term").select("term", "n_exact", "cms_count")
+
+
+def _cms_sql() -> str:
+    from ..operators.sketch import cms_sql
+
+    inner = cms_sql(
+        _staged_sql("cms_corpus_pos"), _staged_sql("cms_cand_pos"),
+        key="term",
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+top AS (
+  SELECT term, COUNT(*) AS n_exact FROM toks WHERE term <> ''
+  GROUP BY term ORDER BY n_exact DESC, term ASC LIMIT 15)
+SELECT top.term, top.n_exact, est.cms_count
+FROM top JOIN ({inner}) est ON est.term = top.term
+"""
+
+
+_BLOOM_BITS, _BLOOM_HASHES = 2048, 3
+
+
+def bloom_prune_orders(spark, sf_dir):
+    """Bloom-filter semi-join pruning (operators/bloom.py): the bit set
+    of EUROPE customers probes every order's custkey — the pre-shuffle
+    reduction a 10^12-row probe side needs (reference parity: the
+    skip-list / already-indexed anti-checks, build-index.py:26-35, are
+    membership pruning).  One summary row hash-checks the whole
+    contract: n_probe_keys, n_pass, n_member (exact), n_false_pos, and
+    n_false_neg which the Bloom guarantee pins to 0.  Filter sized to a
+    NONTRIVIAL false-positive rate (~5%) so the FP accounting is
+    exercised, not vacuous."""
+    from ..operators.bloom import bloom_bits, bloom_contains
+    from ..operators.sketch import cms_positions
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    europe = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    bits = _stage(
+        bloom_bits(europe, "c_custkey", _BLOOM_BITS, _BLOOM_HASHES),
+        "bloom_bits",
+    )
+    probe_keys = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    # bloom positions use the same xxhash64(j, key) family as CMS —
+    # stage them once for the DuckDB replay
+    _stage(
+        cms_positions(
+            probe_keys, "k", _BLOOM_HASHES, _BLOOM_BITS, out_key="k"
+        ),
+        "bloom_probe_pos",
+    )
+    maybe = bloom_contains(
+        probe_keys, "k", bits, _BLOOM_BITS, _BLOOM_HASHES
+    )
+    truth = europe.select(
+        F.col("c_custkey").alias("k"), F.lit(1).alias("_is")
+    )
+    flags = maybe.join(truth, "k", "left").select(
+        "maybe_member", F.coalesce(F.col("_is"), F.lit(0)).alias("_is")
+    )
+    mm = F.col("maybe_member").cast("long")
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(mm).alias("n_pass"),
+        F.sum("_is").alias("n_member"),
+        F.sum(mm * (1 - F.col("_is"))).alias("n_false_pos"),
+        F.sum((1 - mm) * F.col("_is")).alias("n_false_neg"),
+    )
+
+
+def _bloom_sql() -> str:
+    from ..operators.bloom import bloom_contains_sql
+
+    inner = bloom_contains_sql(
+        _staged_sql("bloom_bits"), _staged_sql("bloom_probe_pos"),
+        key="k", n_hashes=_BLOOM_HASHES,
+    )
+    return f"""
+WITH europe AS (
+  SELECT c_custkey AS k FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+flags AS (
+  SELECT m.maybe_member,
+         CASE WHEN e.k IS NULL THEN 0 ELSE 1 END AS is_m
+  FROM ({inner}) m LEFT JOIN europe e ON e.k = m.k)
+SELECT COUNT(*) AS n_probe_keys,
+       CAST(SUM(CASE WHEN maybe_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass,
+       CAST(SUM(is_m) AS BIGINT) AS n_member,
+       CAST(SUM(CASE WHEN maybe_member THEN 1 - is_m ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN maybe_member THEN 0 ELSE is_m END) AS BIGINT)
+         AS n_false_neg
+FROM flags
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join (nearest prior event): every click joined to the
     user's latest purchase at or before the click.  Spark has no ASOF
@@ -2214,11 +2359,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
-    "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
     "events_sessionization": events_sessionization,
     "events_asof_join": events_asof_join,
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
     "histogram_quantiles_price": histogram_quantiles_price,
+    "cms_heavy_tokens": cms_heavy_tokens,
+    "bloom_prune_orders": bloom_prune_orders,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_tfidf_keywords": doc_tfidf_keywords,
@@ -2226,7 +2372,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_mix_stats": corpus_mix_stats,
     "corpus_sample_per_source": corpus_sample_per_source,
-    "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "knn_pq_rescore": knn_pq_rescore,
     "embedding_neardup_cosine": embedding_neardup_cosine,
@@ -2258,7 +2403,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- past the driver's 50-entry window: ALL driver-green in
     # CORRECTNESS_r03; rotate back into the window next round ----
     "filter_project_pushdown": filter_project_pushdown,
+    "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
     "q5_region_revenue": q5_region_revenue,
+    "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2297,6 +2444,8 @@ ORACLES: dict[str, str] = {
     "events_asof_join": ASOF_SQL,
     "hll_distinct_orderkeys": _hll_sql(),
     "histogram_quantiles_price": _histq_sql(),
+    "cms_heavy_tokens": _cms_sql(),
+    "bloom_prune_orders": _bloom_sql(),
     "corpus_sample_per_source": SAMPLE_SQL,
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,

@@ -123,3 +123,71 @@ def test_histogram_quantiles_ignore_nulls(spark):
         for r in histogram_quantiles(clean, "x", **args).collect()
     }
     assert got == want
+
+
+def test_cms_matches_python_and_bounds(spark):
+    """Count-Min: Spark estimate == pure-Python sketch replay over the
+    same positions, estimate >= true count ALWAYS, and with width >>
+    distinct keys the heavy keys estimate exactly."""
+    import random
+    from collections import Counter, defaultdict
+
+    from cli_p_spark.operators.sketch import cms_estimate, cms_positions
+
+    rng = random.Random(5)
+    # Zipf-ish: key i drawn proportional to 1/(i+1)
+    keys = [f"k{int(rng.paretovariate(1.0)) % 50:02d}" for _ in range(20000)]
+    exact = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "term string")
+    corpus_pos = cms_positions(df, "term", depth=4, width=512)
+    cand = spark.createDataFrame(
+        [(k,) for k in sorted(exact)], "term string"
+    )
+    cand_pos = cms_positions(cand, "term", depth=4, width=512, out_key="term")
+    got = {
+        r["term"]: r["cms_count"]
+        for r in cms_estimate(corpus_pos, cand_pos, key="term").collect()
+    }
+
+    # pure-Python replay from the SAME collected positions
+    sketch = defaultdict(int)
+    for r in corpus_pos.collect():
+        sketch[(r["_j"], r["_pos"])] += 1
+    want = {}
+    for r in cand_pos.collect():
+        k = r["term"]
+        v = sketch.get((r["_j"], r["_pos"]), 0)
+        want[k] = min(want[k], v) if k in want else v
+    assert got == want
+    # CMS invariant: never underestimates
+    assert all(got[k] >= exact[k] for k in exact)
+    # wide sketch, few keys -> most estimates exact
+    n_exact = sum(1 for k in exact if got[k] == exact[k])
+    assert n_exact >= len(exact) * 0.9
+
+
+def test_cms_merges_by_addition(spark):
+    """Sketches built on disjoint halves and unioned give the same
+    estimates as one sketch over the whole corpus (counter addition)."""
+    from cli_p_spark.operators.sketch import cms_estimate, cms_positions
+
+    rows = [(f"k{i % 7}",) for i in range(500)]
+    a = spark.createDataFrame(rows[:250], "term string")
+    b = spark.createDataFrame(rows[250:], "term string")
+    whole = spark.createDataFrame(rows, "term string")
+    cand = whole.distinct()
+    kw = dict(depth=4, width=256)
+    cp_w = cms_positions(whole, "term", **kw)
+    cp_u = cms_positions(a, "term", **kw).unionByName(
+        cms_positions(b, "term", **kw)
+    )
+    cand_pos = cms_positions(cand, "term", out_key="term", **kw)
+    est_w = {
+        r["term"]: r["cms_count"]
+        for r in cms_estimate(cp_w, cand_pos, key="term").collect()
+    }
+    est_u = {
+        r["term"]: r["cms_count"]
+        for r in cms_estimate(cp_u, cand_pos, key="term").collect()
+    }
+    assert est_w == est_u
