@@ -160,3 +160,83 @@ def degree_stats(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def khop_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(node, hops): every node reachable from any seed in <= ``k``
+    directed hops, with hops = BFS level (the minimum distance; seeds
+    are level 0).  The multi-hop KG query — "what is within 2 hops of
+    this entity" — that a triple store answers with index nested loops
+    and Spark answers with level-synchronous BFS:
+
+    per hop: frontier ⋈ edges on src (one shuffle) -> distinct dst ->
+    anti join visited (one shuffle) -> new frontier.  Work per hop is
+    |frontier ⋈ edges|, not |graph|; `hops` is deterministic by
+    construction (level-synchronous => first level wins, no race on
+    min-distance).  Lineage is cut with ccomp's checkpointer every hop
+    (frontiers chain joins otherwise), and `visited` is persisted —
+    the same plan-depth discipline as pagerank/connected components.
+
+    ``seeds``: one column named ``node``.  Hub-skew note: a frontier
+    containing a hub fans out to its full adjacency in one hop; the
+    join shuffles on src, so AQE's skew split handles a hot src key."""
+    from .ccomp import _checkpointer
+
+    e = edges.select(
+        F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
+    ).persist()
+    frontier = seeds.select("node").distinct()
+    visited = frontier.select("node", F.lit(0).alias("hops")).persist()
+    for depth in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_es"])
+            .select(F.col("_ed").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+        )
+        nxt = _checkpointer(nxt, checkpoint)
+        if nxt.isEmpty():
+            break
+        old = visited
+        visited = old.unionByName(
+            nxt.select("node", F.lit(depth).alias("hops"))
+        ).persist()
+        visited.count()  # materialize before dropping the parent cache
+        old.unpersist()
+        frontier = nxt
+    from .lsh import _CacheHandle
+
+    out = visited
+    out.khop_cache = _CacheHandle(e, visited)
+    return out
+
+
+def khop_sql(edges_rel: str, seeds_sql: str, k: int) -> str:
+    """DuckDB twin of khop_reachability: level-synchronous BFS unrolled
+    as chained CTEs (one per hop) over an edge relation (src, dst);
+    ``seeds_sql`` selects the seed column as `node`.  Set semantics only
+    (DISTINCT + anti NOT IN per level) — integer/string outputs, no
+    floats, bit-exact across engines."""
+    parts = [
+        f"e AS (SELECT src, dst FROM {edges_rel})",
+        f"v0 AS (SELECT DISTINCT node, 0 AS hops FROM ({seeds_sql}))",
+    ]
+    for i in range(1, k + 1):
+        prev_vs = " UNION ALL ".join(f"SELECT node FROM v{j}" for j in range(i))
+        parts.append(
+            f"""v{i} AS (
+  SELECT DISTINCT e.dst AS node, {i} AS hops
+  FROM v{i - 1} f JOIN e ON e.src = f.node
+  WHERE e.dst NOT IN ({prev_vs}))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT node, hops FROM v{i}" for i in range(k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union}"

@@ -2328,6 +2328,38 @@ def _kg_pagerank_sql() -> str:
     return pagerank_sql(_staged_sql("kg_pr_edges"))
 
 
+def kg_khop_reach(spark, sf_dir):
+    """Multi-hop KG traversal: (node, hops) for everything within 3
+    directed hops of the 3 lexicographically-smallest subject entities
+    — level-synchronous distributed BFS (operators/graph.py: per hop
+    one frontier⋈edges shuffle + one anti-join, work |frontier⋈edges|
+    not |graph|, checkpointed frontiers).  The "show me the
+    neighborhood of this entity" query a KG exists to answer."""
+    from ..operators.graph import khop_reachability
+
+    edges = _stage(
+        kg_triples_exact(spark, sf_dir)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct(),
+        "kg_khop_edges",
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .orderBy("node").limit(3)
+    )
+    return khop_reachability(edges, seeds, k=3)
+
+
+def _kg_khop_sql() -> str:
+    from ..operators.graph import khop_sql
+
+    seeds = (
+        "SELECT src AS node FROM (SELECT DISTINCT src FROM "
+        f"{_staged_sql('kg_khop_edges')} ORDER BY src LIMIT 3)"
+    )
+    return khop_sql(_staged_sql("kg_khop_edges"), seeds, k=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2355,6 +2387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_canonical_triples": kg_canonical_triples,
     "kg_skips_quarantine": kg_skips_quarantine,
     "kg_pagerank": kg_pagerank,
+    "kg_khop_reach": kg_khop_reach,
     "kg_span_roundtrip": kg_span_roundtrip,
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
@@ -2378,7 +2411,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_winnow_neardup": doc_winnow_neardup,
-    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
@@ -2406,6 +2438,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
     "q5_region_revenue": q5_region_revenue,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2491,6 +2524,7 @@ ORACLES: dict[str, str] = {
     "media_decode_stats": _media_decode_sql(),
     "media_frame_plan": _media_frame_sql(),
     "kg_pagerank": _kg_pagerank_sql(),
+    "kg_khop_reach": _kg_khop_sql(),
     # Every QUERIES entry now has a DuckDB twin.  The staged-parquet
     # oracles are written by the Spark query, then DuckDB re-derives the
     # result from the same bytes (Spark must run first per entry — both

@@ -100,3 +100,52 @@ def test_degree_stats(spark):
     got = {r["degree"]: r["n_nodes"] for r in degree_stats(df).collect()}
     # degrees: a=2 (out), b=2 (1 in + 1 out), c=2 (in) -> all degree 2
     assert got == {2: 3}
+
+
+def test_khop_matches_python_bfs(spark):
+    from cli_p_spark.operators.graph import khop_reachability
+
+    rng = random.Random(23)
+    nodes = [f"n{i}" for i in range(80)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    seeds = ["n0", "n1"]
+
+    # pure-Python level-synchronous BFS
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for depth in range(1, 5):
+        nxt = {
+            v for u in frontier for v in adj[u] if v not in want
+        }
+        for v in nxt:
+            want[v] = depth
+        frontier = nxt
+
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    out = khop_reachability(e, s, k=4)
+    got = {r["node"]: r["hops"] for r in out.collect()}
+    assert got == want
+    out.khop_cache.unpersist()
+
+
+def test_khop_early_exit_and_hub(spark):
+    from cli_p_spark.operators.graph import khop_reachability
+
+    # hub: seed -> hub -> 30 spokes; everything reached by hop 2, and
+    # k=10 must terminate early (empty frontier) without error
+    edges = [("s", "hub")] + [("hub", f"x{i}") for i in range(30)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    s = spark.createDataFrame([("s",)], "node string")
+    out = khop_reachability(e, s, k=10)
+    got = {r["node"]: r["hops"] for r in out.collect()}
+    assert got["s"] == 0 and got["hub"] == 1
+    assert all(got[f"x{i}"] == 2 for i in range(30))
+    assert len(got) == 32
+    out.khop_cache.unpersist()
