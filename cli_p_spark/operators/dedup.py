@@ -160,24 +160,14 @@ def lsh_pairs_from_signatures(
     candidate pairs by two narrow joins afterwards.  Carrying _sig
     through the banded explode would multiply the shuffle volume by
     bands x sig-width (petabytes at 10^12 docs)."""
-    r = n_hashes // bands
-
-    band_cols = [
-        F.xxhash64(
-            F.lit(b), F.slice("_sig", b * r + 1, r).cast("array<string>")
-        ).alias(f"_b{b}")
-        for b in range(bands)
-    ]
     # the band index is already folded into the bucket hash (the F.lit(b)
-    # seed above), so the bucket value alone is the join key: a single
-    # long instead of (band, bucket) halves the key width through the
-    # explode shuffle, the size groupBy and the self-join.  A cross-band
-    # 64-bit hash collision could only ADD a candidate pair, which the
-    # exact signature-agreement verify below then filters.
-    banded = sig.select(
-        "_id",
-        F.explode(F.array(*band_cols)).alias("_bucket"),
-    )
+    # seed inside _band_bucket_explode), so the bucket value alone is the
+    # join key: a single long instead of (band, bucket) halves the key
+    # width through the explode shuffle, the size groupBy and the
+    # self-join.  A cross-band 64-bit hash collision could only ADD a
+    # candidate pair, which the exact signature-agreement verify below
+    # then filters.
+    banded = _band_bucket_explode(sig, n_hashes, bands)
     # bucket-size guard: degenerate buckets (boilerplate) cap quadratic
     # pairing at max_bucket; above it, a linear bucket-min STAR keeps the
     # bucket connected for downstream CC (groupBy sizes, not a window —
@@ -220,6 +210,135 @@ def lsh_pairs_from_signatures(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("src", "dst", "jaccard")
     )
+
+
+def _band_bucket_explode(sig: DataFrame, n_hashes: int, bands: int):
+    """(_id, _bucket): the packed single-long band keys of a signature
+    table — the same construction lsh_pairs_from_signatures uses (band
+    index folded into the bucket hash via the F.lit(b) seed)."""
+    r = n_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), F.slice("_sig", b * r + 1, r).cast("array<string>")
+        ).alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    return sig.select(
+        "_id", F.explode(F.array(*band_cols)).alias("_bucket")
+    )
+
+
+def incremental_lsh_pairs(
+    new_sig: DataFrame,
+    corpus_sig: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Near-dup pairs of an INCREMENT against an already-signed corpus —
+    the daily-batch workflow at 10^12 docs, where re-banding the whole
+    corpus per batch (lsh_pairs_from_signatures over the union) would
+    re-shuffle petabytes that didn't change.
+
+    Inputs are signature tables (_id, _sig array<long>) with DISJOINT
+    ids: ``corpus_sig`` is the stored table the pipeline maintains
+    (written once per doc, ever); ``corpus_bands`` is the stored banded
+    index (_id, _bucket) if the pipeline materializes it — pass None to
+    derive it here (one corpus pass; a real deployment stages it).
+
+    Output: (src, dst, jaccard) with src from the new batch; dst from
+    the corpus (cross pairs), plus new×new pairs (src < dst) when
+    ``include_new_pairs``.  Join volume is |new_bands ⋈ index|, i.e.
+    proportional to the BATCH, not the corpus.  The bucket-size guard
+    caps degenerate (boilerplate) index buckets: a new doc landing in an
+    oversized bucket pairs ONLY with that bucket's min corpus id (the
+    linear star — keeps the cluster connected for downstream CC without
+    the quadratic fan-in).
+
+    The returned frame carries ``.band_rows`` (the new batch's band
+    rows) — append them to the stored index so the NEXT increment sees
+    this one, and ``.signature_cache`` to unpersist after
+    materialization."""
+    from .lsh import _CacheHandle
+
+    band_new = _band_bucket_explode(new_sig, n_hashes, bands).persist()
+    if corpus_bands is None:
+        corpus_bands = _band_bucket_explode(corpus_sig, n_hashes, bands)
+
+    star = None
+    if max_bucket < (1 << 30):
+        sizes = corpus_bands.groupBy("_bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        tagged = corpus_bands.join(sizes, ["_bucket"])
+        big = tagged.filter(F.col("_bn") > max_bucket)
+        mins = big.groupBy("_bucket").agg(F.min("_id").alias("_min"))
+        star = (
+            band_new.join(mins, ["_bucket"])
+            .select(
+                F.col("_id").alias("src"), F.col("_min").alias("dst")
+            )
+        )
+        corpus_bands = tagged.filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+
+    cross = (
+        band_new.join(
+            corpus_bands.select(
+                F.col("_id").alias("dst"), "_bucket"
+            ),
+            ["_bucket"],
+        )
+        .select(F.col("_id").alias("src"), "dst")
+    )
+    if star is not None:
+        cross = cross.unionByName(star)
+    cand = cross.dropDuplicates(["src", "dst"])
+
+    agree = F.aggregate(
+        F.zip_with("_sig_a", "_sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    sig_a = new_sig.select(
+        F.col("_id").alias("src"), F.col("_sig").alias("_sig_a")
+    )
+    sig_b = corpus_sig.select(
+        F.col("_id").alias("dst"), F.col("_sig").alias("_sig_b")
+    )
+    out = (
+        cand.join(sig_a, "src").join(sig_b, "dst")
+        .withColumn("jaccard", agree / F.lit(n_hashes))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("src", "dst", "jaccard")
+    )
+    if include_new_pairs:
+        nn_cand = (
+            band_new.select(F.col("_id").alias("src"), "_bucket")
+            .join(
+                band_new.select(F.col("_id").alias("dst"), "_bucket"),
+                ["_bucket"],
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        sig_b_new = new_sig.select(
+            F.col("_id").alias("dst"), F.col("_sig").alias("_sig_b")
+        )
+        nn = (
+            nn_cand.join(sig_a, "src").join(sig_b_new, "dst")
+            .withColumn("jaccard", agree / F.lit(n_hashes))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("src", "dst", "jaccard")
+        )
+        out = out.unionByName(nn)
+    out.band_rows = band_new
+    out.signature_cache = _CacheHandle(band_new)
+    return out
 
 
 def simhash_fingerprints(

@@ -1199,6 +1199,55 @@ WHERE jaccard >= 0.5
 """
 
 
+def doc_incremental_neardup(spark, sf_dir):
+    """Incremental near-dedup: the ~1/8 md5-split "daily batch" LSH-paired
+    against the stored corpus signatures WITHOUT re-banding the corpus
+    (operators/dedup.py incremental_lsh_pairs: join volume tracks the
+    batch, not the 10^12-doc corpus; oversized index buckets degrade to
+    the linear star).  Bucket guard disabled here so the banding
+    semantics are exactly the oracle's EXISTS-equal-band predicate."""
+    from ..operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+
+    d = _docs_as_text(spark, sf_dir)
+    sig = minhash_signatures(d, "text", "doc_id", n_hashes=64, shingle_w=3)
+    is_new = F.md5(F.concat(F.lit("inc:"), F.col("_id"))) < "2"
+    new_sig = _stage(sig.filter(is_new), "inc_new_sigs")
+    corpus_sig = _stage(sig.filter(~is_new), "inc_corpus_sigs")
+    out = incremental_lsh_pairs(
+        new_sig, corpus_sig, n_hashes=64, bands=16,
+        jaccard_threshold=0.5, max_bucket=1 << 30,
+    )
+    return out
+
+
+def _incremental_sql() -> str:
+    r, bands, n = 4, 16, 64
+    band_eq = " OR ".join(
+        f"a._sig[{b * r + 1}:{b * r + r}] = b._sig[{b * r + 1}:{b * r + r}]"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a._sig[{i}] = b._sig[{i}] THEN 1 ELSE 0 END)"
+        for i in range(1, n + 1)
+    )
+    new_rel = _staged_sql("inc_new_sigs")
+    corpus_rel = _staged_sql("inc_corpus_sigs")
+    return f"""
+SELECT src, dst, jaccard FROM (
+  SELECT a._id AS src, b._id AS dst, ({agree}) / {n}.0 AS jaccard
+  FROM {new_rel} a JOIN {corpus_rel} b ON TRUE
+  WHERE {band_eq}
+  UNION ALL
+  SELECT a._id AS src, b._id AS dst, ({agree}) / {n}.0 AS jaccard
+  FROM {new_rel} a JOIN {new_rel} b ON a._id < b._id
+  WHERE {band_eq})
+WHERE jaccard >= 0.5
+"""
+
+
 def simhash_dedup_pairs(spark, sf_dir):
     """SimHash near-dup pairs, banded+verified from staged fingerprints."""
     from ..operators.dedup import (
@@ -2409,9 +2458,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_pq_rescore": knn_pq_rescore,
     "embedding_neardup_cosine": embedding_neardup_cosine,
     "minhash_dedup_pairs": minhash_dedup_pairs,
+    "doc_incremental_neardup": doc_incremental_neardup,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_winnow_neardup": doc_winnow_neardup,
-    "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
     "doc_lang_id": doc_lang_id,
@@ -2439,6 +2488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_region_revenue": q5_region_revenue,
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2514,6 +2564,7 @@ ORACLES: dict[str, str] = {
     "range_join_ship_lag": RANGE_JOIN_SQL,
     "curate_training_corpus": _curate_sql(),
     "minhash_dedup_pairs": _minhash_sql(),
+    "doc_incremental_neardup": _incremental_sql(),
     "simhash_dedup_pairs": _simhash_sql(),
     "doc_winnow_neardup": WINNOW_SQL,
     "kg_triples_exact": KG_EXACT_SQL,

@@ -250,3 +250,69 @@ def test_pii_scrub_and_counts(spark):
     assert got["b"][:3] == (0, 0, 2)
     assert got["b"][3] == "server at <IPV4> and <IPV4> up"
     assert got["c"] == (0, 0, 0, "no pii here at all")
+
+
+def test_incremental_lsh_matches_full_rebuild(spark, neardup_df):
+    """Increment-vs-corpus pairs must equal the full-corpus LSH result
+    minus the corpus-internal pairs: batch processing loses nothing."""
+    from cli_p_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        lsh_pairs_from_signatures,
+        minhash_signatures,
+    )
+
+    rows, df = neardup_df
+    # deterministic split: ids ending in 'b' plus the dupX docs are the
+    # "new batch"; rest is the stored corpus
+    is_new = F.col("_id").endswith("b") | F.col("_id").startswith("dup")
+    sig = minhash_signatures(df, "text", "id", n_hashes=64, shingle_w=3)
+    sig.persist()
+    new_sig, corpus_sig = sig.filter(is_new), sig.filter(~is_new)
+
+    inc = incremental_lsh_pairs(
+        new_sig, corpus_sig, n_hashes=64, bands=16,
+        jaccard_threshold=0.5, max_bucket=1 << 30,
+    )
+    got = {(r["src"], r["dst"]): r["jaccard"] for r in inc.collect()}
+
+    full = lsh_pairs_from_signatures(
+        sig, n_hashes=64, bands=16, jaccard_threshold=0.5,
+        max_bucket=1 << 30,
+    )
+    new_ids = {r["_id"] for r in new_sig.select("_id").collect()}
+    want = {}
+    for r in full.collect():
+        s, d = r["src"], r["dst"]
+        if s in new_ids and d in new_ids:
+            want[(s, d)] = r["jaccard"]          # new x new, already s<d
+        elif s in new_ids:
+            want[(s, d)] = r["jaccard"]          # new -> corpus
+        elif d in new_ids:
+            want[(d, s)] = r["jaccard"]          # flip: src must be new
+    assert got == want
+    assert len(got) > 0
+    inc.signature_cache.unpersist()
+    sig.unpersist()
+
+
+def test_incremental_lsh_star_guard(spark):
+    """An oversized corpus bucket must degrade to the linear star: the
+    new doc pairs only with the bucket's min corpus id."""
+    from cli_p_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus_rows = [(f"c{i:03d}", text) for i in range(20)]
+    new_rows = [("n000", text)]
+    corpus = spark.createDataFrame(corpus_rows, "id string, text string")
+    new = spark.createDataFrame(new_rows, "id string, text string")
+    c_sig = minhash_signatures(corpus, "text", "id")
+    n_sig = minhash_signatures(new, "text", "id")
+    inc = incremental_lsh_pairs(
+        n_sig, c_sig, jaccard_threshold=0.5, max_bucket=5,
+    )
+    got = {(r["src"], r["dst"]) for r in inc.collect()}
+    assert got == {("n000", "c000")}  # min corpus id only, not 20 pairs
+    inc.signature_cache.unpersist()
