@@ -240,3 +240,96 @@ def khop_sql(edges_rel: str, seeds_sql: str, k: int) -> str:
         f"SELECT node, hops FROM v{i}" for i in range(k + 1)
     )
     return "WITH " + ",\n".join(parts) + f"\n{union}"
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row (n_edges, n_wedges, n_triangles) for the UNDIRECTED
+    simple graph underlying the edge list — the clustering/cohesion
+    diagnostic of the entity graph (how clique-y are co-mentions).
+
+    Degree-ordered orientation (the standard scale trick; Suri & Vassilvitskii
+    WWW'11 "Counting triangles and the curse of the last reducer"):
+    each undirected edge is oriented from its (degree, node)-smaller
+    endpoint to the larger, so every vertex's out-degree is O(sqrt(m))
+    on any graph — a 10^8-degree hub generates wedges only from its
+    LOW-degree neighbors' perspective, never the hub's own quadratic
+    fan.  Wedges: oriented-adjacency self-join on the apex; triangles:
+    wedge endpoints joined back against oriented edges.  Two shuffle
+    joins + one count; all integers, bit-exact on any engine."""
+    u, v = F.col("_u"), F.col("_v")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .filter(u != v)
+        .distinct()
+    )
+    deg = (
+        e.select(u.alias("_n"))
+        .unionByName(e.select(v.alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    du = deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv"))
+    keyed = e.join(du, "_u").join(dv, "_v")
+    lo_first = F.struct("_du", "_u") < F.struct("_dv", "_v")
+    oriented = keyed.select(
+        F.when(lo_first, u).otherwise(v).alias("_x"),
+        F.when(lo_first, v).otherwise(u).alias("_y"),
+        F.when(lo_first, F.col("_du")).otherwise(F.col("_dv")).alias("_dx"),
+        F.when(lo_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dy"),
+    ).persist()
+    a = oriented.select("_x", F.col("_y").alias("_p"),
+                        F.col("_dy").alias("_dp"))
+    b = oriented.select("_x", F.col("_y").alias("_q"),
+                        F.col("_dy").alias("_dq"))
+    wedges = a.join(b, "_x").filter(
+        F.struct("_dp", "_p") < F.struct("_dq", "_q")
+    )
+    closing = oriented.select(
+        F.col("_x").alias("_p"), F.col("_y").alias("_q")
+    )
+    tri = wedges.join(closing, ["_p", "_q"], "semi")
+    out = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+    from .lsh import _CacheHandle
+
+    out.triangle_cache = _CacheHandle(oriented)
+    return out
+
+
+def triangle_sql(edges_rel: str) -> str:
+    """DuckDB twin of triangle_count over an edge relation (src, dst):
+    same canonicalization, same (degree, node) orientation (row-value
+    comparisons), same wedge/closure joins — integer counts only."""
+    return f"""
+WITH raw AS (SELECT src, dst FROM {edges_rel}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+oriented AS (
+  SELECT CASE WHEN (a.d, e.u) < (b.d, e.v) THEN e.u ELSE e.v END AS x,
+         CASE WHEN (a.d, e.u) < (b.d, e.v) THEN e.v ELSE e.u END AS y,
+         CASE WHEN (a.d, e.u) < (b.d, e.v) THEN b.d ELSE a.d END AS dy
+  FROM e JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v),
+wedges AS (
+  SELECT a.x, a.y AS p, b.y AS q
+  FROM oriented a JOIN oriented b ON a.x = b.x
+  WHERE (a.dy, a.y) < (b.dy, b.y)),
+tri AS (
+  SELECT w.* FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.x = w.p AND o.y = w.q))
+SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT COUNT(*) FROM tri) AS n_triangles
+"""

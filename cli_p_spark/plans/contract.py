@@ -2399,6 +2399,29 @@ def kg_khop_reach(spark, sf_dir):
     return khop_reachability(edges, seeds, k=3)
 
 
+def kg_triangles(spark, sf_dir):
+    """Triangle census of the entity co-occurrence graph — subjects and
+    objects co-mentioned in triples (operators/graph.py triangle_count:
+    degree-ordered orientation caps every vertex's wedge fan at
+    O(sqrt(m)), the hub-proof formulation).  One summary row of integer
+    counts, bit-exact across engines."""
+    from ..operators.graph import triangle_count
+
+    edges = _stage(
+        kg_triples_exact(spark, sf_dir)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct(),
+        "kg_tri_edges",
+    )
+    return triangle_count(edges)
+
+
+def _kg_triangles_sql() -> str:
+    from ..operators.graph import triangle_sql
+
+    return triangle_sql(_staged_sql("kg_tri_edges"))
+
+
 def _kg_khop_sql() -> str:
     from ..operators.graph import khop_sql
 
@@ -2437,6 +2460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_skips_quarantine": kg_skips_quarantine,
     "kg_pagerank": kg_pagerank,
     "kg_khop_reach": kg_khop_reach,
+    "kg_triangles": kg_triangles,
     "kg_span_roundtrip": kg_span_roundtrip,
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
@@ -2463,7 +2487,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_winnow_neardup": doc_winnow_neardup,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
-    "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
     # rotated IN this round (tail since round 2/3):
     "left_outer_nation_customers": left_outer_nation_customers,
@@ -2489,6 +2512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce_cosine": knn_bruteforce_cosine,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
+    "doc_lang_id": doc_lang_id,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2576,6 +2600,7 @@ ORACLES: dict[str, str] = {
     "media_frame_plan": _media_frame_sql(),
     "kg_pagerank": _kg_pagerank_sql(),
     "kg_khop_reach": _kg_khop_sql(),
+    "kg_triangles": _kg_triangles_sql(),
     # Every QUERIES entry now has a DuckDB twin.  The staged-parquet
     # oracles are written by the Spark query, then DuckDB re-derives the
     # result from the same bytes (Spark must run first per entry — both

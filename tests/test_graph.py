@@ -149,3 +149,47 @@ def test_khop_early_exit_and_hub(spark):
     assert all(got[f"x{i}"] == 2 for i in range(30))
     assert len(got) == 32
     out.khop_cache.unpersist()
+
+
+def test_triangle_count_matches_python(spark):
+    from itertools import combinations
+
+    from cli_p_spark.operators.graph import triangle_count
+
+    rng = random.Random(31)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    und = {frozenset((a, b)) for a, b in edges}
+    want = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {frozenset((a, b)), frozenset((a, c)), frozenset((b, c))} <= und
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = triangle_count(df)
+    row = out.collect()[0]
+    assert row["n_triangles"] == want
+    assert row["n_edges"] == len(und)
+    out.triangle_cache.unpersist()
+
+
+def test_triangle_count_known_graphs(spark):
+    from cli_p_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; duplicate/reversed edges must not inflate
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+          ("b", "d"), ("c", "d"), ("b", "a"), ("c", "a")]
+    df = spark.createDataFrame(k4, "src string, dst string")
+    out = triangle_count(df)
+    row = out.collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (6, 4)
+    out.triangle_cache.unpersist()
+    # star graph: zero triangles
+    star = [("h", f"s{i}") for i in range(10)]
+    df2 = spark.createDataFrame(star, "src string, dst string")
+    out2 = triangle_count(df2)
+    assert out2.collect()[0]["n_triangles"] == 0
+    out2.triangle_cache.unpersist()
