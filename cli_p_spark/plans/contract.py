@@ -1199,6 +1199,32 @@ WHERE jaccard >= 0.5
 """
 
 
+def part_name_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy entity-name matching: every distinct part-name pair within
+    Levenshtein 2, via symmetric-delete blocking (operators/fuzzy.py:
+    complete recall by the SymSpell guarantee, candidates from a
+    variant equi-join over the staged blocking index, one built-in
+    levenshtein per candidate).  The surface-form half of entity
+    canonicalization — typo'd names merge here, synonymous mentions
+    merge in the embedding-LSH path."""
+    from ..operators.fuzzy import fuzzy_name_pairs, name_variant_rows
+
+    p = _t(spark, sf_dir, "part")
+    variants = _stage(
+        name_variant_rows(p, "p_name", max_dist=2), "fuzzy_variants"
+    )
+    return fuzzy_name_pairs(
+        p, "p_name", max_dist=2, max_bucket=1 << 30,
+        variant_rows=variants,
+    )
+
+
+def _fuzzy_sql() -> str:
+    from ..operators.fuzzy import fuzzy_pairs_sql
+
+    return fuzzy_pairs_sql(_staged_sql("fuzzy_variants"), max_dist=2)
+
+
 def doc_incremental_neardup(spark, sf_dir):
     """Incremental near-dedup: the ~1/8 md5-split "daily batch" LSH-paired
     against the stored corpus signatures WITHOUT re-banding the corpus
@@ -2483,11 +2509,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_cosine": embedding_neardup_cosine,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "doc_incremental_neardup": doc_incremental_neardup,
+    "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_winnow_neardup": doc_winnow_neardup,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
-    "doc_quality_composite": doc_quality_composite,
     # rotated IN this round (tail since round 2/3):
     "left_outer_nation_customers": left_outer_nation_customers,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
@@ -2513,6 +2539,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "doc_lang_id": doc_lang_id,
+    "doc_quality_composite": doc_quality_composite,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2589,6 +2616,7 @@ ORACLES: dict[str, str] = {
     "curate_training_corpus": _curate_sql(),
     "minhash_dedup_pairs": _minhash_sql(),
     "doc_incremental_neardup": _incremental_sql(),
+    "part_name_fuzzy_pairs": _fuzzy_sql(),
     "simhash_dedup_pairs": _simhash_sql(),
     "doc_winnow_neardup": WINNOW_SQL,
     "kg_triples_exact": KG_EXACT_SQL,
