@@ -2279,7 +2279,7 @@ def bloom_prune_orders(spark, sf_dir):
     truth = europe.select(
         F.col("c_custkey").alias("k"), F.lit(1).alias("_is")
     )
-    flags = maybe.join(truth, "k", "left").select(
+    flags = maybe.join(F.broadcast(truth), "k", "left").select(
         "maybe_member", F.coalesce(F.col("_is"), F.lit(0)).alias("_is")
     )
     mm = F.col("maybe_member").cast("long")

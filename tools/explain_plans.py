@@ -39,6 +39,12 @@ def main():
         "doc_repetition_stats",
         "corpus_pack_sequences",
         "events_asof_join",
+        "cms_heavy_tokens",
+        "bloom_prune_orders",
+        "kg_khop_reach",
+        "kg_triangles",
+        "doc_incremental_neardup",
+        "part_name_fuzzy_pairs",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
