@@ -51,18 +51,28 @@ def pagerank_fixed_point(
     damping_ppm: int = DAMPING_PPM,
     checkpoint_every: int = 5,
     checkpoint: str = "auto",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` synchronous PageRank updates
     in integer micro-units (see module docstring for why integer):
 
         contrib(u->v) = r_u div outdeg_u          (integer division)
-        r'_v = base + (damping_ppm * sum contribs) div 10^6
-        base = ((10^6 - damping_ppm) * unit) div 10^6
+        r'_v = base_v + (damping_ppm * sum contribs) div 10^6
+        base_v = ((10^6 - damping_ppm) * unit) div 10^6   (teleport set)
 
-    Every node starts at ``unit``.  Dangling-node mass (no out-edges)
-    evaporates, the common simplification (Page et al. 1999 §2.1 note);
-    ranks remain a total preorder of link importance.  rank_fp / unit is
-    the float rank.
+    Every node in the teleport set starts at ``unit``.  With ``seeds``
+    None the teleport set is ALL nodes (classic PageRank).  With
+    ``seeds`` (one column ``node``) this is PERSONALIZED PageRank: the
+    teleport mass restarts only at the seeds, so rank_fp measures
+    importance RELATIVE TO the seed entities — the "entities related to
+    X" ranking a KG serves; non-seeds start at 0 and earn rank only
+    through paths from the seeds.  Same integer arithmetic, same
+    bit-exactness, same per-iteration cost (the seed flag is one more
+    column on the persisted node frame).
+
+    Dangling-node mass (no out-edges) evaporates, the common
+    simplification (Page et al. 1999 §2.1 note); ranks remain a total
+    preorder of link importance.  rank_fp / unit is the float rank.
 
     Iteration-loop scale shape: each loop turn adds two joins + one agg
     to the rank frame's lineage; unbroken, the final action replays a
@@ -79,11 +89,25 @@ def pagerank_fixed_point(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).persist()
-    nodes = graph_nodes(e, "_src", "_dst").persist()
+    nodes = graph_nodes(e, "_src", "_dst")
+    if seeds is None:
+        nodes = nodes.select("node", F.lit(1).alias("_t"))
+    else:
+        nodes = nodes.join(
+            F.broadcast(
+                seeds.select("node").distinct()
+                .select("node", F.lit(1).alias("_t"))
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce("_t", F.lit(0)).alias("_t"))
+    nodes = nodes.persist()
     outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).persist()
     base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
 
-    r = nodes.select("node", F.lit(unit).cast("long").alias("rank_fp"))
+    r = nodes.select(
+        "node", (F.lit(unit) * F.col("_t")).cast("long").alias("rank_fp")
+    )
     for it in range(1, iterations + 1):
         contribs = (
             e.join(r, e["_src"] == r["node"])
@@ -97,7 +121,7 @@ def pagerank_fixed_point(
         r = nodes.join(summed, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                F.lit(base) * F.col("_t")
                 + F.expr(
                     f"({damping_ppm} * coalesce(_s, 0L)) div 1000000"
                 )
@@ -118,29 +142,46 @@ def pagerank_sql(
     iterations: int = 5,
     unit: int = UNIT,
     damping_ppm: int = DAMPING_PPM,
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB twin of pagerank_fixed_point over an edge relation (src,
     dst) — the 5 synchronous updates unrolled as chained CTEs (explicit
     and engine-portable; recursive-CTE grouping restrictions vary).
-    Integer ops only => bit-identical to the Spark result."""
+    Integer ops only => bit-identical to the Spark result.  With
+    ``seeds_sql`` (selects `node`), the personalized variant: teleport
+    flag t restricts both the start vector and the base term."""
     base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
     parts = [
         f"e AS (SELECT src, dst FROM {edges_rel})",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
-        f"i0 AS (SELECT node, CAST({unit} AS BIGINT) AS r FROM nodes)",
     ]
+    if seeds_sql is None:
+        parts.append(
+            "nodes AS (SELECT node, 1 AS t FROM "
+            "(SELECT src AS node FROM e UNION SELECT dst FROM e))"
+        )
+    else:
+        parts.append(f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql}))")
+        parts.append(
+            "nodes AS (SELECT n.node, "
+            "CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS t FROM "
+            "(SELECT src AS node FROM e UNION SELECT dst FROM e) n "
+            "LEFT JOIN seeds s ON s.node = n.node)"
+        )
+    parts.append(
+        f"i0 AS (SELECT node, CAST({unit} * t AS BIGINT) AS r FROM nodes)"
+    )
     for k in range(1, iterations + 1):
         parts.append(f"""i{k} AS (
   SELECT n.node,
-         CAST({base} + ({damping_ppm} * COALESCE(SUM(c.contrib), 0))
+         CAST({base} * n.t + ({damping_ppm} * COALESCE(SUM(c.contrib), 0))
                        // 1000000 AS BIGINT) AS r
   FROM nodes n
   LEFT JOIN (
     SELECT e.dst AS node, p.r // d.deg AS contrib
     FROM e JOIN i{k - 1} p ON p.node = e.src
            JOIN outdeg d ON d.src = e.src) c ON c.node = n.node
-  GROUP BY n.node)""")
+  GROUP BY n.node, n.t)""")
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, r AS rank_fp FROM i{iterations}"

@@ -2425,6 +2425,37 @@ def kg_khop_reach(spark, sf_dir):
     return khop_reachability(edges, seeds, k=3)
 
 
+def kg_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank: teleport mass restricted to the 3
+    lexicographically-smallest subject entities — "entities related to
+    X" ranking over the triple graph (operators/graph.py seeds=; same
+    fixed-point integer arithmetic as kg_pagerank, bit-exact by
+    construction; non-seed-reachable nodes rank exactly 0)."""
+    from ..operators.graph import pagerank_fixed_point
+
+    edges = _stage(
+        kg_triples_exact(spark, sf_dir)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct(),
+        "kg_ppr_edges",
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .orderBy("node").limit(3)
+    )
+    return pagerank_fixed_point(edges, seeds=seeds)
+
+
+def _kg_ppr_sql() -> str:
+    from ..operators.graph import pagerank_sql
+
+    seeds = (
+        "SELECT src AS node FROM (SELECT DISTINCT src FROM "
+        f"{_staged_sql('kg_ppr_edges')} ORDER BY src LIMIT 3)"
+    )
+    return pagerank_sql(_staged_sql("kg_ppr_edges"), seeds_sql=seeds)
+
+
 def kg_triangles(spark, sf_dir):
     """Triangle census of the entity co-occurrence graph — subjects and
     objects co-mentioned in triples (operators/graph.py triangle_count:
@@ -2487,6 +2518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": kg_pagerank,
     "kg_khop_reach": kg_khop_reach,
     "kg_triangles": kg_triangles,
+    "kg_personalized_pagerank": kg_personalized_pagerank,
     "kg_span_roundtrip": kg_span_roundtrip,
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
@@ -2512,7 +2544,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_winnow_neardup": doc_winnow_neardup,
-    "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
     # rotated IN this round (tail since round 2/3):
     "left_outer_nation_customers": left_outer_nation_customers,
@@ -2540,6 +2571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint_dedup": doc_fingerprint_dedup,
     "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
+    "doc_pii_scrub": doc_pii_scrub,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2629,6 +2661,7 @@ ORACLES: dict[str, str] = {
     "kg_pagerank": _kg_pagerank_sql(),
     "kg_khop_reach": _kg_khop_sql(),
     "kg_triangles": _kg_triangles_sql(),
+    "kg_personalized_pagerank": _kg_ppr_sql(),
     # Every QUERIES entry now has a DuckDB twin.  The staged-parquet
     # oracles are written by the Spark query, then DuckDB re-derives the
     # result from the same bytes (Spark must run first per entry — both

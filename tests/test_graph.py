@@ -193,3 +193,59 @@ def test_triangle_count_known_graphs(spark):
     out2 = triangle_count(df2)
     assert out2.collect()[0]["n_triangles"] == 0
     out2.triangle_cache.unpersist()
+
+
+def _py_ppr_fp(edges, seeds, iterations=5, unit=UNIT,
+               damping_ppm=DAMPING_PPM):
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    outdeg = defaultdict(int)
+    for u, _ in edges:
+        outdeg[u] += 1
+    base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
+    t = {n: (1 if n in seeds else 0) for n in nodes}
+    r = {n: unit * t[n] for n in nodes}
+    for _ in range(iterations):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // outdeg[u]
+        r = {
+            n: base * t[n] + (damping_ppm * s[n]) // 1_000_000
+            for n in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python(spark):
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(50)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    seeds = {"n0", "n1", "n2"}
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([(s,) for s in sorted(seeds)], "node string")
+    out = pagerank_fixed_point(df, seeds=sdf)
+    got = {r["node"]: r["rank_fp"] for r in out.collect()}
+    assert got == _py_ppr_fp(edges, seeds)
+    out.pagerank_cache.unpersist()
+
+
+def test_personalized_pagerank_localizes(spark):
+    # two disjoint star communities; seeding in A must rank A's hub
+    # above everything in B (which gets exactly zero mass)
+    edges = (
+        [(f"a{i}", "hubA") for i in range(10)]
+        + [("hubA", "a0")]
+        + [(f"b{i}", "hubB") for i in range(10)]
+        + [("hubB", "b0")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    sdf = spark.createDataFrame([("a0",)], "node string")
+    out = pagerank_fixed_point(df, seeds=sdf)
+    ranks = {r["node"]: r["rank_fp"] for r in out.collect()}
+    assert ranks["hubA"] > 0 and ranks["a0"] > 0
+    assert ranks["hubB"] == 0 and all(
+        ranks[f"b{i}"] == 0 for i in range(10)
+    )
+    out.pagerank_cache.unpersist()
