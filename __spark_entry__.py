@@ -2,14 +2,14 @@
 
 entry(spark)   -> flagship KG-construction query on sf0.001.
 queries()      -> operator inventory per SURVEY.md §2.2 (cli_p_spark.plans.contract).
-oracle_sql()   -> DuckDB twins for EVERY entry (66/66): UDF-based entries
+oracle_sql()   -> DuckDB twins for EVERY entry (73/73): UDF-based entries
                   (kg_*, minhash/simhash, media, curate) stage their
                   intermediates to parquet and the SQL re-derives the
                   result from the same bytes.  The external driver
-                  evaluates the FIRST 50 dict entries; the 16-entry tail
-                  ROTATES through the window every other round (see the
-                  QUERIES comment in plans/contract.py) and holds only
-                  entries driver-green the previous round — all 66 are
+                  evaluates the FIRST 50 dict entries; the tail ROTATES
+                  through the window every other round (see the QUERIES
+                  comment in plans/contract.py) and holds only entries
+                  driver-green the previous round — ALL entries are
                   still checked every round by tools/check_contract.py
                   (Arrow-off, strict repr floats).
 """
