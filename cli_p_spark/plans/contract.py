@@ -2425,6 +2425,73 @@ def kg_khop_reach(spark, sf_dir):
     return khop_reachability(edges, seeds, k=3)
 
 
+def dq_expectations(spark, sf_dir):
+    """Data-quality gate over the orders/lineitem batch: per-row
+    predicate rules in ONE scan each, key uniqueness, and two
+    referential-integrity anti-joins — (rule, n_rows, n_violations),
+    O(rules) output at any input size (operators/expectations.py; the
+    reference's decode-or-skip discipline applied to tables).  The
+    price-floor rule is sized to actually FIRE so the violation
+    accounting is exercised, not vacuous."""
+    from ..operators.expectations import (
+        check_fk,
+        check_rows,
+        check_unique,
+        expectations_report,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    parts = [
+        check_rows(o, {
+            "o_custkey_not_null": F.col("o_custkey").isNull(),
+            "o_totalprice_floor": F.col("o_totalprice") < 5000.0,
+        }),
+        check_rows(li, {
+            "l_quantity_range": ~F.col("l_quantity").between(1, 50),
+            "l_discount_range": ~F.col("l_discount").between(0.0, 0.1),
+        }),
+        check_unique(li, ["l_orderkey", "l_linenumber"], "lineitem_pk"),
+        check_fk(o, "o_custkey", c, "c_custkey", "orders_customer_fk"),
+        check_fk(li, "l_orderkey", o, "o_orderkey", "lineitem_orders_fk"),
+    ]
+    return expectations_report(parts)
+
+
+DQ_SQL = """
+SELECT 'o_custkey_not_null' AS rule, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM orders
+UNION ALL
+SELECT 'o_totalprice_floor', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice < 5000.0 THEN 1 ELSE 0 END)
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'l_quantity_range', COUNT(*),
+       CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'l_discount_range', COUNT(*),
+       CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                     THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem_pk', COUNT(*),
+       COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+  FROM lineitem
+UNION ALL
+SELECT 'orders_customer_fk', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_orders_fk', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+"""
+
+
 def kg_personalized_pagerank(spark, sf_dir):
     """Personalized PageRank: teleport mass restricted to the 3
     lexicographically-smallest subject entities — "entities related to
@@ -2529,6 +2596,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles_price": histogram_quantiles_price,
     "cms_heavy_tokens": cms_heavy_tokens,
     "bloom_prune_orders": bloom_prune_orders,
+    "dq_expectations": dq_expectations,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_tfidf_keywords": doc_tfidf_keywords,
@@ -2544,7 +2612,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "doc_winnow_neardup": doc_winnow_neardup,
-    "doc_contamination_probes": doc_contamination_probes,
     # rotated IN this round (tail since round 2/3):
     "left_outer_nation_customers": left_outer_nation_customers,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
@@ -2572,6 +2639,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": doc_lang_id,
     "doc_quality_composite": doc_quality_composite,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_contamination_probes": doc_contamination_probes,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2612,6 +2680,7 @@ ORACLES: dict[str, str] = {
     "histogram_quantiles_price": _histq_sql(),
     "cms_heavy_tokens": _cms_sql(),
     "bloom_prune_orders": _bloom_sql(),
+    "dq_expectations": DQ_SQL,
     "corpus_sample_per_source": SAMPLE_SQL,
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
