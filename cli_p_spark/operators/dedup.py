@@ -294,6 +294,10 @@ def incremental_lsh_pairs(
             ["_bucket"],
         )
         .select(F.col("_id").alias("src"), "dst")
+        # ids are disjoint by contract, but a REPLAYED streaming batch
+        # re-pairs against an index that already contains it — drop the
+        # self-pair so at-least-once replay stays idempotent
+        .filter(F.col("src") != F.col("dst"))
     )
     if star is not None:
         cross = cross.unionByName(star)

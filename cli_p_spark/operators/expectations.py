@@ -33,8 +33,12 @@ def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     All rules evaluate in ONE pass over the table."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for name, cond in rules.items():
+        # coalesce: SUM over zero rows (empty batch) is NULL, and an
+        # empty batch has zero violations, not unknown
         aggs.append(
-            F.sum(cond.cast("long")).alias(f"_v_{name}")
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(
+                f"_v_{name}"
+            )
         )
     row = df.agg(*aggs)
     # unpivot the single agg row with ONE explode — a union of per-rule
@@ -61,8 +65,10 @@ def check_unique(df: DataFrame, key_cols: list[str], rule: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
         .agg(
             F.lit(rule).alias("rule"),
-            F.sum("_c").alias("n_rows"),
-            F.sum(F.col("_c") - 1).alias("n_violations"),
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("n_rows"),
+            F.coalesce(F.sum(F.col("_c") - 1), F.lit(0)).alias(
+                "n_violations"
+            ),
         )
     )
 

@@ -130,3 +130,76 @@ def stream_dedup(
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+):
+    """Continuous near-dedup-index maintenance; returns the
+    StreamingQuery.  Each micro-batch is signed once, LSH-paired
+    against the ACCUMULATED signature/band index via
+    `incremental_lsh_pairs` (join volume tracks the batch, not the
+    10^12-doc corpus), and then appended to the index so the next
+    batch sees it.  Pairs land in `{index_dir}/pairs` tagged with the
+    batch id — at-least-once like incremental_triples (idempotent
+    replay can duplicate a batch's pair rows; (src, dst) is the
+    downstream dedup key).  The stored tables are exactly the
+    `sigs` (_id, _sig) and `bands` (_id, _bucket) relations the batch
+    operator documents — a killed stream resumes from the source
+    checkpoint and the index keeps only COMMITTED batches."""
+    from ..operators.dedup import (
+        _band_bucket_explode,
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+
+    spark = docs_stream.sparkSession
+    sig_schema = "_id string, _sig array<bigint>"
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        sig = minhash_signatures(
+            batch_df, content_col, id_col, n_hashes=n_hashes
+        ).persist()
+        try:
+            corpus_sig = spark.read.parquet(f"{index_dir}/sigs")
+            corpus_bands = spark.read.parquet(f"{index_dir}/bands")
+        except Exception:  # first batch: empty index
+            corpus_sig = spark.createDataFrame([], sig_schema)
+            corpus_bands = None
+        pairs = incremental_lsh_pairs(
+            sig, corpus_sig, corpus_bands=corpus_bands,
+            n_hashes=n_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold, max_bucket=max_bucket,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(f"{index_dir}/pairs")
+        )
+        # index append AFTER the pairs commit: a replayed batch re-pairs
+        # against an index that may already contain it — self-pairs are
+        # impossible (ids equal ⇒ src<dst fails; cross sees only OLDER
+        # appends of the same id, same (src,dst) key) — and never MISSES
+        # a prior batch
+        sig.write.mode("append").parquet(f"{index_dir}/sigs")
+        _band_bucket_explode(sig, n_hashes, bands).write.mode(
+            "append"
+        ).parquet(f"{index_dir}/bands")
+        pairs.signature_cache.unpersist()
+        sig.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

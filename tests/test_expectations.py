@@ -52,3 +52,16 @@ def test_expectations_single_pass(spark):
     assert plan.count("Range") == 1  # one source read, not one per rule
     got = {r["rule"]: r["n_violations"] for r in out.collect()}
     assert got == {"a": 0, "b": 0, "c": 0}
+
+
+def test_expectations_empty_batch(spark):
+    """An empty batch reports zero rows / zero violations — never NULL
+    (SUM over zero rows is NULL without the coalesce)."""
+    empty = spark.createDataFrame([], "id long, fk long, val double")
+    rows = check_rows(empty, {"v": F.col("val").isNull()})
+    uniq = check_unique(empty, ["id"], "u")
+    rep = {
+        r["rule"]: (r["n_rows"], r["n_violations"])
+        for r in expectations_report([rows, uniq]).collect()
+    }
+    assert rep == {"v": (0, 0), "u": (0, 0)}

@@ -171,3 +171,61 @@ def test_stream_static_enrichment(spark, tmp_path):
     want = sorted(map(tuple, df.join(
         dim, "user_id").select("event_id", "user_id", "tier").collect()))
     assert got == want
+
+
+def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
+    """Stream the near-dup corpus as three file drops maintaining the
+    signature/band index; accumulated pairs (as unordered sets) must
+    equal one batch LSH run over the whole corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.dedup import minhash_lsh_pairs
+    from cli_p_spark.streaming.ingest import incremental_dedup_stream
+
+    rnd = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = []
+    for i in range(45):
+        base = rnd.sample(vocab, 25)
+        mut = list(base)
+        mut[rnd.randrange(25)] = rnd.choice(vocab)
+        rows.append((f"s{i:03d}a", " ".join(base)))
+        rows.append((f"s{i:03d}b", " ".join(mut)))
+
+    in_dir = str(tmp_path / "in")
+    for k in range(3):
+        chunk = rows[k * 30: (k + 1) * 30]
+        spark.createDataFrame(
+            chunk, "doc_id string, text string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    index_dir = str(tmp_path / "index")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = incremental_dedup_stream(
+        stream, index_dir, str(tmp_path / "ckpt"),
+        jaccard_threshold=0.5, max_bucket=1 << 30,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        frozenset((r["src"], r["dst"]))
+        for r in spark.read.parquet(f"{index_dir}/pairs").collect()
+    }
+    full = minhash_lsh_pairs(
+        spark.createDataFrame(rows, "doc_id string, text string"),
+        "text", "doc_id", jaccard_threshold=0.5, max_bucket=1 << 30,
+    )
+    want = {
+        frozenset((r["src"], r["dst"])) for r in full.collect()
+    }
+    full.signature_cache.unpersist()
+    assert got == want and len(want) >= 30
+    # index holds every doc exactly once
+    n_sigs = spark.read.parquet(f"{index_dir}/sigs").count()
+    assert n_sigs == len(rows)
