@@ -77,8 +77,16 @@ def bloom_contains(
     probes = keys.select(
         key_col, F.explode(arr).alias("_e")
     ).select(key_col, F.col("_e._j").alias("_j"), F.col("_e._pos").alias("_pos"))
+    # distinct defensively: duplicate _pos rows in a caller-supplied
+    # bits frame would double-count a matched probe row and flip the
+    # ==n_hashes test into a FALSE NEGATIVE — the one error class a
+    # Bloom filter must never produce
     hit = probes.join(
-        F.broadcast(bits.withColumn("_set", F.lit(1))), "_pos", "left"
+        F.broadcast(
+            bits.select("_pos").distinct().withColumn("_set", F.lit(1))
+        ),
+        "_pos",
+        "left",
     )
     return hit.groupBy(key_col).agg(
         (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == F.lit(n_hashes))

@@ -53,3 +53,16 @@ def test_bloom_prune_equals_contains_and_broadcasts(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= K
     assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_bloom_contains_tolerates_duplicate_bits(spark):
+    """A non-distinct bits frame (e.g. unioned filters before dedup)
+    must not double-count matches into false negatives."""
+    build = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bits = bloom_bits(build, "k", M, K)
+    dup_bits = bits.unionByName(bits)  # every position twice
+    got = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_contains(build, "k", dup_bits, M, K).collect()
+    }
+    assert all(got[i] for i in range(50))
