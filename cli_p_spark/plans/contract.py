@@ -2425,6 +2425,40 @@ def kg_khop_reach(spark, sf_dir):
     return khop_reachability(edges, seeds, k=3)
 
 
+_ZDIMS = [("l_extendedprice", 900.0, 105000.0), ("l_quantity", 1.0, 51.0)]
+_ZBITS, _ZBUCKET_BITS = 8, 4
+
+
+def zorder_skipping_stats(spark, sf_dir):
+    """Z-order layout evidence (operators/layout.py): lineitem rows
+    bucketed by the top bits of a Morton key interleaving price and
+    quantity — per-bucket min/max of BOTH dims stay tight at once (the
+    property a single-column sort cannot give), i.e. the file-skipping
+    stats a z-sorted 100 TB table would prune scans with.  The key is
+    pure int64 shifts over repr-literal grid bins: identical on any
+    engine."""
+    from ..operators.layout import layout_skipping_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return layout_skipping_stats(
+        li, _ZDIMS, bits_per_dim=_ZBITS, bucket_bits=_ZBUCKET_BITS
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.layout import zorder_sql_expr
+
+    z = zorder_sql_expr(_ZDIMS, _ZBITS)
+    shift = _ZBITS * len(_ZDIMS) - _ZBUCKET_BITS
+    cols = ", ".join(
+        f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c}" for c, _, _ in _ZDIMS
+    )
+    return f"""
+SELECT (({z}) >> {shift}) AS z_bucket, COUNT(*) AS n_rows, {cols}
+FROM lineitem GROUP BY 1
+"""
+
+
 def dq_expectations(spark, sf_dir):
     """Data-quality gate over the orders/lineitem batch: per-row
     predicate rules in ONE scan each, key uniqueness, and two
@@ -2597,6 +2631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_tokens": cms_heavy_tokens,
     "bloom_prune_orders": bloom_prune_orders,
     "dq_expectations": dq_expectations,
+    "zorder_skipping_stats": zorder_skipping_stats,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_repetition_stats": doc_repetition_stats,
     "doc_tfidf_keywords": doc_tfidf_keywords,
@@ -2611,7 +2646,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_incremental_neardup": doc_incremental_neardup,
     "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
-    "doc_winnow_neardup": doc_winnow_neardup,
     # rotated IN this round (tail since round 2/3):
     "left_outer_nation_customers": left_outer_nation_customers,
     "pivot_returnflag_by_status": pivot_returnflag_by_status,
@@ -2640,6 +2674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_composite": doc_quality_composite,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
+    "doc_winnow_neardup": doc_winnow_neardup,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2681,6 +2716,7 @@ ORACLES: dict[str, str] = {
     "cms_heavy_tokens": _cms_sql(),
     "bloom_prune_orders": _bloom_sql(),
     "dq_expectations": DQ_SQL,
+    "zorder_skipping_stats": _zorder_sql(),
     "corpus_sample_per_source": SAMPLE_SQL,
     "doc_exact_dedup": DEDUP_SQL,
     "doc_token_stats": TOKEN_SQL,
