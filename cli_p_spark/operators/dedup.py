@@ -253,10 +253,15 @@ def incremental_lsh_pairs(
     the corpus (cross pairs), plus new×new pairs (src < dst) when
     ``include_new_pairs``.  Join volume is |new_bands ⋈ index|, i.e.
     proportional to the BATCH, not the corpus.  The bucket-size guard
-    caps degenerate (boilerplate) index buckets: a new doc landing in an
-    oversized bucket pairs ONLY with that bucket's min corpus id (the
-    linear star — keeps the cluster connected for downstream CC without
-    the quadratic fan-in).
+    caps degenerate (boilerplate) buckets on BOTH sides: a new doc
+    landing in an oversized index bucket pairs ONLY with that bucket's
+    min corpus id, and an oversized new-batch bucket stars to its min
+    new id (linear, not quadratic).  Star candidates still pass the
+    jaccard >= threshold verify, so for the near-identical boilerplate
+    that triggers the cap the cluster stays connected for downstream
+    CC; bucket members that merely band-collide can drop below the
+    threshold and lose their star edge — the cap trades within-bucket
+    pair completeness for linear cost, never emits a wrong pair.
 
     The returned frame carries ``.band_rows`` (the new batch's band
     rows) — append them to the stored index so the NEXT increment sees
@@ -321,15 +326,44 @@ def incremental_lsh_pairs(
         .select("src", "dst", "jaccard")
     )
     if include_new_pairs:
+        # the new-batch self-join needs the SAME degenerate-bucket guard
+        # as the corpus side: a micro-batch full of boilerplate landing
+        # in one bucket would otherwise pair quadratically — exactly the
+        # blowup max_bucket exists to cap (batch path parity:
+        # lsh_pairs_from_signatures)
+        nn_bands = band_new
+        nn_star = None
+        if max_bucket < (1 << 30):
+            nn_sizes = nn_bands.groupBy("_bucket").agg(
+                F.count(F.lit(1)).alias("_bn")
+            )
+            nn_tagged = nn_bands.join(nn_sizes, ["_bucket"])
+            nn_big = nn_tagged.filter(F.col("_bn") > max_bucket)
+            nn_mins = nn_big.groupBy("_bucket").agg(
+                F.min("_id").alias("_min")
+            )
+            nn_star = (
+                nn_big.join(nn_mins, ["_bucket"])
+                .filter(F.col("_id") != F.col("_min"))
+                .select(
+                    F.col("_min").alias("src"), F.col("_id").alias("dst")
+                )
+            )
+            nn_bands = nn_tagged.filter(
+                F.col("_bn") <= max_bucket
+            ).drop("_bn")
         nn_cand = (
-            band_new.select(F.col("_id").alias("src"), "_bucket")
+            nn_bands.select(F.col("_id").alias("src"), "_bucket")
             .join(
-                band_new.select(F.col("_id").alias("dst"), "_bucket"),
+                nn_bands.select(F.col("_id").alias("dst"), "_bucket"),
                 ["_bucket"],
             )
             .filter(F.col("src") < F.col("dst"))
-            .dropDuplicates(["src", "dst"])
+            .select("src", "dst")
         )
+        if nn_star is not None:
+            nn_cand = nn_cand.unionByName(nn_star)
+        nn_cand = nn_cand.dropDuplicates(["src", "dst"])
         sig_b_new = new_sig.select(
             F.col("_id").alias("dst"), F.col("_sig").alias("_sig_b")
         )

@@ -90,8 +90,14 @@ def fuzzy_name_pairs(
     ``max_dist`` (src < dst) — complete recall by the symmetric-delete
     guarantee, candidates from the variant equi-join, verified with the
     built-in levenshtein.  Oversized variant buckets (degenerate short
-    strings) emit linear star edges to the bucket-min name, keeping the
-    cluster connected for downstream CC without quadratic fan-in."""
+    strings) emit linear star CANDIDATES to the bucket-min name instead
+    of the quadratic fan-in; star candidates pass through the SAME
+    dist <= max_dist verify as everything else, so for the
+    near-identical boilerplate that triggers the cap they keep the
+    cluster connected, but a bucket of merely-variant-sharing names
+    (up to 2*max_dist apart through the shared variant) can drop star
+    edges beyond the bound — capping trades completeness of WITHIN-
+    bucket pair enumeration for linear cost, never emits a wrong pair."""
     v = variant_rows
     if v is None:
         v = name_variant_rows(df, name_col, max_dist)

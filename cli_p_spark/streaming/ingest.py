@@ -156,7 +156,6 @@ def incremental_dedup_stream(
     operator documents — a killed stream resumes from the source
     checkpoint and the index keeps only COMMITTED batches."""
     from ..operators.dedup import (
-        _band_bucket_explode,
         incremental_lsh_pairs,
         minhash_signatures,
     )
@@ -164,18 +163,35 @@ def incremental_dedup_stream(
     spark = docs_stream.sparkSession
     sig_schema = "_id string, _sig array<bigint>"
 
+    def _read_if_exists(path: str):
+        """None iff the path does not exist.  Any OTHER read failure
+        (transient FS error, corrupt footer) must PROPAGATE — foreachBatch
+        then fails the batch and the checkpoint replays it; treating it
+        as 'empty index' would silently drop every cross-corpus pair of
+        this batch while still committing its sigs (unrecoverable)."""
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        return spark.read.parquet(path)
+
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
         sig = minhash_signatures(
             batch_df, content_col, id_col, n_hashes=n_hashes
         ).persist()
-        try:
-            corpus_sig = spark.read.parquet(f"{index_dir}/sigs")
-            corpus_bands = spark.read.parquet(f"{index_dir}/bands")
-        except Exception:  # first batch: empty index
+        corpus_sig = _read_if_exists(f"{index_dir}/sigs")
+        if corpus_sig is None:  # first batch: empty index
             corpus_sig = spark.createDataFrame([], sig_schema)
             corpus_bands = None
+        else:
+            # bands absent with sigs present (prior run died between the
+            # two appends): re-derive bands from the signatures —
+            # corpus_bands=None triggers exactly that inside the operator
+            corpus_bands = _read_if_exists(f"{index_dir}/bands")
         pairs = incremental_lsh_pairs(
             sig, corpus_sig, corpus_bands=corpus_bands,
             n_hashes=n_hashes, bands=bands,
@@ -191,9 +207,9 @@ def incremental_dedup_stream(
         # appends of the same id, same (src,dst) key) — and never MISSES
         # a prior batch
         sig.write.mode("append").parquet(f"{index_dir}/sigs")
-        _band_bucket_explode(sig, n_hashes, bands).write.mode(
-            "append"
-        ).parquet(f"{index_dir}/bands")
+        # the persisted band rows the operator already computed — the
+        # documented .band_rows hand-off, not a second banding pass
+        pairs.band_rows.write.mode("append").parquet(f"{index_dir}/bands")
         pairs.signature_cache.unpersist()
         sig.unpersist()
 
