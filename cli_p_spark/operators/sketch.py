@@ -346,3 +346,43 @@ LEFT JOIN (SELECT _j, _pos, COUNT(*) AS c FROM {corpus_pos_rel}
   ON s._j = c._j AND s._pos = c._pos
 GROUP BY c.{key}
 """
+
+
+def cms_join_size(
+    pos_a: DataFrame, pos_b: DataFrame
+) -> DataFrame:
+    """ONE-row (join_size_est) estimate of |A ⋈ B| on the sketched key —
+    the Count-Min inner-product estimator (Cormode & Muthukrishnan 2005
+    §4.2): for each depth row j, sum over positions of cntA * cntB;
+    estimate = min over j.  Never underestimates; error <= |A||B|/width
+    per row w.h.p.  The join-cardinality oracle a cost-based planner
+    wants BEFORE committing to a shuffle strategy at 100 TB — computed
+    from two sketches whose size is depth x width regardless of table
+    size, mergeable across partitions/days by addition.
+
+    Inputs are cms_positions outputs (same depth, width, key type on
+    both sides)."""
+    sa = pos_a.groupBy("_j", "_pos").agg(F.count(F.lit(1)).alias("_ca"))
+    sb = pos_b.groupBy("_j", "_pos").agg(F.count(F.lit(1)).alias("_cb"))
+    per_row = (
+        sa.join(sb, ["_j", "_pos"])
+        .groupBy("_j")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    return per_row.agg(
+        F.min("_ip").cast("long").alias("join_size_est")
+    )
+
+
+def cms_join_size_sql(pos_a_rel: str, pos_b_rel: str) -> str:
+    """DuckDB twin of cms_join_size over staged position relations."""
+    return f"""
+SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est FROM (
+  SELECT a._j, SUM(a.ca * b.cb) AS ip
+  FROM (SELECT _j, _pos, COUNT(*) AS ca FROM {pos_a_rel}
+        GROUP BY _j, _pos) a
+  JOIN (SELECT _j, _pos, COUNT(*) AS cb FROM {pos_b_rel}
+        GROUP BY _j, _pos) b
+    ON a._j = b._j AND a._pos = b._pos
+  GROUP BY a._j)
+"""

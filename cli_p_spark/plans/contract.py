@@ -2235,6 +2235,50 @@ FROM top JOIN ({inner}) est ON est.term = top.term
 """
 
 
+def cms_join_size_orders(spark, sf_dir):
+    """Sketch-based join-cardinality estimation: |orders ⋈ lineitem| on
+    orderkey from two Count-Min sketches (operators/sketch.py
+    cms_join_size — the inner-product estimator a cost-based planner
+    consults before picking a 100 TB shuffle strategy).  Output: the
+    estimate next to the exact join size; the estimate NEVER
+    underestimates (CMS guarantee, hash-checked here cross-engine)."""
+    from ..operators.sketch import cms_join_size, cms_positions
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    pa = _stage(
+        cms_positions(o, "k", _CMS_DEPTH, _CMS_WIDTH).select("_j", "_pos"),
+        "cmsj_orders_pos",
+    )
+    pb = _stage(
+        cms_positions(li, "k", _CMS_DEPTH, _CMS_WIDTH).select("_j", "_pos"),
+        "cmsj_lineitem_pos",
+    )
+    est = cms_join_size(pa, pb)
+    exact = o.join(li, "k").agg(
+        F.count(F.lit(1)).alias("join_size_exact")
+    )
+    return est.crossJoin(exact)
+
+
+def _cms_join_sql() -> str:
+    from ..operators.sketch import cms_join_size_sql
+
+    inner = cms_join_size_sql(
+        _staged_sql("cmsj_orders_pos"), _staged_sql("cmsj_lineitem_pos")
+    )
+    return f"""
+SELECT e.join_size_est, x.join_size_exact
+FROM ({inner}) e CROSS JOIN (
+  SELECT COUNT(*) AS join_size_exact
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey) x
+"""
+
+
 _BLOOM_BITS, _BLOOM_HASHES = 2048, 3
 
 
@@ -2651,11 +2695,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles_price": histogram_quantiles_price,
     "cms_heavy_tokens": cms_heavy_tokens,
     "bloom_prune_orders": bloom_prune_orders,
+    "cms_join_size_orders": cms_join_size_orders,
     "dq_expectations": dq_expectations,
     "zorder_skipping_stats": zorder_skipping_stats,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_repetition_stats": doc_repetition_stats,
-    "doc_tfidf_keywords": doc_tfidf_keywords,
     "corpus_split_stats": corpus_split_stats,
     "corpus_pack_sequences": corpus_pack_sequences,
     "corpus_mix_stats": corpus_mix_stats,
@@ -2696,6 +2740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination_probes": doc_contamination_probes,
     "doc_winnow_neardup": doc_winnow_neardup,
+    "doc_tfidf_keywords": doc_tfidf_keywords,
     "join_broadcast_dims": join_broadcast_dims,
     "semi_join_customers_with_orders": semi_join_customers_with_orders,
     "anti_join_customers_without_orders": anti_join_customers_without_orders,
@@ -2736,6 +2781,7 @@ ORACLES: dict[str, str] = {
     "histogram_quantiles_price": _histq_sql(),
     "cms_heavy_tokens": _cms_sql(),
     "bloom_prune_orders": _bloom_sql(),
+    "cms_join_size_orders": _cms_join_sql(),
     "dq_expectations": DQ_SQL,
     "zorder_skipping_stats": _zorder_sql(),
     "corpus_sample_per_source": SAMPLE_SQL,

@@ -191,3 +191,41 @@ def test_cms_merges_by_addition(spark):
         for r in cms_estimate(cp_u, cand_pos, key="term").collect()
     }
     assert est_w == est_u
+
+
+def test_cms_join_size_bounds_and_python(spark):
+    """Join-size estimate: matches the pure-Python inner product over
+    the same positions, never underestimates the true join size, and
+    is tight when width >> distinct keys."""
+    import random
+    from collections import Counter, defaultdict
+
+    from cli_p_spark.operators.sketch import cms_join_size, cms_positions
+
+    rng = random.Random(29)
+    a_keys = [f"k{rng.randrange(40):02d}" for _ in range(3000)]
+    b_keys = [f"k{rng.randrange(40):02d}" for _ in range(2000)]
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    true_join = sum(ca[k] * cb[k] for k in ca if k in cb)
+
+    kw = dict(depth=4, width=1024)
+    pa = cms_positions(
+        spark.createDataFrame([(k,) for k in a_keys], "k string"), "k", **kw
+    )
+    pb = cms_positions(
+        spark.createDataFrame([(k,) for k in b_keys], "k string"), "k", **kw
+    )
+    got = cms_join_size(pa, pb).collect()[0]["join_size_est"]
+
+    sk_a, sk_b = defaultdict(int), defaultdict(int)
+    for r in pa.collect():
+        sk_a[(r["_j"], r["_pos"])] += 1
+    for r in pb.collect():
+        sk_b[(r["_j"], r["_pos"])] += 1
+    by_j = defaultdict(int)
+    for (j, p), c in sk_a.items():
+        if (j, p) in sk_b:
+            by_j[j] += c * sk_b[(j, p)]
+    assert got == min(by_j.values())
+    assert got >= true_join
+    assert got <= true_join * 1.2  # wide sketch, few keys -> tight
