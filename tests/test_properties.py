@@ -141,3 +141,60 @@ def test_contamination_matches_python_oracle(spark, data):
     for k_ in want:
         assert got[k_][0] == want[k_][0], k_
         assert abs(got[k_][1] - want[k_][1]) < 1e-12, k_
+
+
+# --- properties backing the round-4 operator families ----------------
+# (pure-Python replications of the math the operators rely on; the
+# Spark-vs-exact equality gates live in test_fuzzy/test_layout)
+
+def _deletes(s: str, d: int) -> set:
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcde", min_size=0, max_size=10),
+    st.text(alphabet="abcde", min_size=0, max_size=10),
+)
+def test_symmetric_delete_blocking_complete(a, b):
+    """The theorem fuzzy_name_pairs' completeness rests on: any two
+    strings within Levenshtein 2 share a <=2-deletion variant (small
+    alphabet maximizes collision/edit density)."""
+    if _lev(a, b) <= 2:
+        assert _deletes(a, 2) & _deletes(b, 2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255),
+)
+def test_morton_key_per_dim_monotone(x1, x2, y):
+    """Bit interleaving is order-preserving per dimension (the property
+    that makes a z-sort cluster EVERY dim): with y fixed,
+    z(x1, y) < z(x2, y) iff x1 < x2."""
+    def spread(v, off):
+        return sum(((v >> i) & 1) << (i * 2 + off) for i in range(8))
+
+    z1 = spread(x1, 0) + spread(y, 1)
+    z2 = spread(x2, 0) + spread(y, 1)
+    assert (z1 < z2) == (x1 < x2)
