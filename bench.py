@@ -26,6 +26,7 @@ Env knobs:
   SPARK_GRAFT_SCALE_DOCS   KG corpus for the scaling runs (default 500000)
   SPARK_GRAFT_SCALE_LO/HI  scaling core counts (default 2 / 8)
   SPARK_GRAFT_SCALING      "0" to skip the scaling runs
+  SPARK_GRAFT_GRAPH        "0" to skip the graph-family stage
 """
 
 from __future__ import annotations
@@ -48,6 +49,7 @@ SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 RUN_CANON = os.environ.get("SPARK_GRAFT_CANON", "1") != "0"
 RUN_512D = os.environ.get("SPARK_GRAFT_512D", "1") != "0"
+RUN_GRAPH = os.environ.get("SPARK_GRAFT_GRAPH", "1") != "0"
 CANON_MENTIONS = int(
     os.environ.get("SPARK_GRAFT_CANON_MENTIONS", "1000000")
 )
@@ -291,6 +293,60 @@ def _canon_job(spark, n_mentions: int) -> tuple[float, dict]:
     }
 
 
+def _graph_job(
+    spark, n_edges: int = 1_000_000, n_nodes: int = 100_000
+) -> dict:
+    """Graph-family measurement (SCALE.md rows: pagerank / khop /
+    triangles) on a deterministic hash-generated multigraph: 10^6
+    directed edges over 10^5 nodes (xxhash64 endpoints — skewless
+    uniform; triangle count exercises the degree-ordered orientation
+    at real fan-out).  Turns the 'measured, not asserted' dial for the
+    round-4 graph operators."""
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.graph import (
+        khop_reachability,
+        pagerank_fixed_point,
+        triangle_count,
+    )
+
+    edges = (
+        spark.range(n_edges)
+        .select(
+            F.pmod(F.xxhash64(F.lit(1), "id"), F.lit(n_nodes)).alias("src"),
+            F.pmod(F.xxhash64(F.lit(2), "id"), F.lit(n_nodes)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    edges.count()  # materialize input outside the timings
+    out: dict = {"n_edges": n_edges, "n_nodes": n_nodes}
+
+    t0 = time.time()
+    r = pagerank_fixed_point(edges, iterations=5)
+    out["pagerank_top_rank"] = r.agg(
+        F.max("rank_fp").alias("m")
+    ).collect()[0]["m"]
+    out["pagerank_s"] = round(time.time() - t0, 3)
+    r.pagerank_cache.unpersist()
+
+    t0 = time.time()
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    kh = khop_reachability(edges, seeds, k=3)
+    out["khop_reached"] = kh.count()
+    out["khop_s"] = round(time.time() - t0, 3)
+    kh.khop_cache.unpersist()
+
+    t0 = time.time()
+    tri = triangle_count(edges)
+    row = tri.collect()[0]
+    out["n_triangles"] = row["n_triangles"]
+    out["triangles_s"] = round(time.time() - t0, 3)
+    tri.triangle_cache.unpersist()
+    edges.unpersist()
+    return out
+
+
 def main():
     from cli_p_spark.fixtures.generate import make_entities
     from cli_p_spark.plans.contract import QUERIES
@@ -343,6 +399,10 @@ def main():
 
     if RUN_512D:
         extra["dim512"] = _dim512_job(spark)
+        _noise_probe(spark)
+
+    if RUN_GRAPH:
+        extra["graph"] = _graph_job(spark)
         _noise_probe(spark)
 
     if RUN_CANON:
