@@ -54,3 +54,29 @@ def test_topk_k10_matches_oracle(spark):
     a = sorted(map(tuple, got[key].itertuples(index=False)))
     b = sorted(map(tuple, golden[key].itertuples(index=False)))
     assert a == b
+
+
+def test_mention_generator_survives_cluster_eviction(spark):
+    """Regression (round-4 ADVICE): cluster_base eviction past 100k
+    distinct clusters per partition must not KeyError (evict happens
+    BEFORE insert now), and results stay deterministic across the
+    eviction boundary (regeneration is seeded)."""
+    from cli_p_spark.fixtures.distributed import distributed_mentions
+
+    kw = dict(
+        n_mentions=450_000, dim=8, cluster_w=2, hub_copies=10,
+        partitions=2,  # ~112k clusters/partition -> crosses the bound
+    )
+    m = distributed_mentions(spark, **kw)
+    n = m.count()  # would KeyError mid-task before the fix
+    assert n == 450_000
+    a = sorted(
+        (r["mention_id"], tuple(r["embedding"]))
+        for r in m.filter("mention_id like 'm00000000%'").collect()
+    )
+    b = sorted(
+        (r["mention_id"], tuple(r["embedding"]))
+        for r in distributed_mentions(spark, **kw)
+        .filter("mention_id like 'm00000000%'").collect()
+    )
+    assert a == b and len(a) == 10
