@@ -41,21 +41,54 @@ def main():
         "events_asof_join",
         "cms_heavy_tokens",
         "bloom_prune_orders",
-        "kg_khop_reach",
-        "kg_triangles",
+        "zorder_skipping_stats",
+        "dq_expectations",
         "doc_incremental_neardup",
         "part_name_fuzzy_pairs",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
-    for name in picks:
-        df = QUERIES[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(
+
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
-        out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
+
+    for name in picks:
+        out.append(f"\n## {name}\n\n```\n{fmt(QUERIES[name](spark, sf_dir))}\n```\n")
+
+    # the graph CONTRACT entries stage (materialize) their results so the
+    # operator caches can be unpersisted — their entry plans are bare
+    # parquet scans.  Explain the OPERATOR plans over the shared staged
+    # edges instead (what actually executes during staging).
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.graph import (
+        khop_reachability,
+        pagerank_fixed_point,
+        triangle_count,
+    )
+    from cli_p_spark.plans.contract import _kg_edges
+
+    edges = _kg_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .orderBy("node").limit(3)
+    )
+    graph_ops = [
+        ("kg_pagerank (operator plan)", pagerank_fixed_point(edges)),
+        ("kg_khop_reach (operator plan)",
+         khop_reachability(edges, seeds, k=3)),
+        ("kg_triangles (operator plan)", triangle_count(edges)),
+    ]
+    for name, df in graph_ops:
+        out.append(f"\n## {name}\n\n```\n{fmt(df)}\n```\n")
+        for attr in ("pagerank_cache", "khop_cache", "triangle_cache"):
+            c = getattr(df, attr, None)
+            if c is not None:
+                c.unpersist()
 
     docs_pdf, ents_pdf = corpus(n_docs=50, n_entities=100)
     docs = documents_to_spark(spark, docs_pdf)
