@@ -286,6 +286,10 @@ def incremental_lsh_pairs(
             .select(
                 F.col("_id").alias("src"), F.col("_min").alias("dst")
             )
+            # same replay guard as the cross path below: an at-least-once
+            # replayed batch doc that is ALSO the min id of an oversized
+            # index bucket would star to itself otherwise
+            .filter(F.col("src") != F.col("dst"))
         )
         corpus_bands = tagged.filter(
             F.col("_bn") <= max_bucket

@@ -263,8 +263,11 @@ def khop_sql(edges_rel: str, seeds_sql: str, k: int) -> str:
     """DuckDB twin of khop_reachability: level-synchronous BFS unrolled
     as chained CTEs (one per hop) over an edge relation (src, dst);
     ``seeds_sql`` selects the seed column as `node`.  Set semantics only
-    (DISTINCT + anti NOT IN per level) — integer/string outputs, no
-    floats, bit-exact across engines."""
+    (DISTINCT + NOT EXISTS anti per level — NOT the NOT IN form, whose
+    three-valued logic empties every later frontier if a single NULL
+    dst slips into the edge relation, diverging from Spark's null-safe
+    anti join) — integer/string outputs, no floats, bit-exact across
+    engines."""
     parts = [
         f"e AS (SELECT src, dst FROM {edges_rel})",
         f"v0 AS (SELECT DISTINCT node, 0 AS hops FROM ({seeds_sql}))",
@@ -275,7 +278,7 @@ def khop_sql(edges_rel: str, seeds_sql: str, k: int) -> str:
             f"""v{i} AS (
   SELECT DISTINCT e.dst AS node, {i} AS hops
   FROM v{i - 1} f JOIN e ON e.src = f.node
-  WHERE e.dst NOT IN ({prev_vs}))"""
+  WHERE NOT EXISTS (SELECT 1 FROM ({prev_vs}) p WHERE p.node = e.dst))"""
         )
     union = " UNION ALL ".join(
         f"SELECT node, hops FROM v{i}" for i in range(k + 1)

@@ -361,28 +361,44 @@ def cms_join_size(
     size, mergeable across partitions/days by addition.
 
     Inputs are cms_positions outputs (same depth, width, key type on
-    both sides)."""
+    both sides).  A depth row whose sketches share NO counter position
+    contributes inner product 0 (the true estimate for disjoint key
+    sets with no collisions) — the per-j sum is taken over a spine of
+    every _j present in either input, not only over overlapping
+    positions, so the min can reach 0 instead of silently dropping
+    zero-overlap rows (and two fully disjoint sketches estimate 0,
+    not NULL)."""
     sa = pos_a.groupBy("_j", "_pos").agg(F.count(F.lit(1)).alias("_ca"))
     sb = pos_b.groupBy("_j", "_pos").agg(F.count(F.lit(1)).alias("_cb"))
-    per_row = (
+    spine = (
+        pos_a.select("_j").unionByName(pos_b.select("_j")).distinct()
+    )
+    overlap = (
         sa.join(sb, ["_j", "_pos"])
         .groupBy("_j")
         .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
     )
+    per_row = spine.join(overlap, ["_j"], "left").select(
+        F.coalesce(F.col("_ip"), F.lit(0)).alias("_ip")
+    )
     return per_row.agg(
-        F.min("_ip").cast("long").alias("join_size_est")
+        F.coalesce(F.min("_ip"), F.lit(0)).cast("long").alias("join_size_est")
     )
 
 
 def cms_join_size_sql(pos_a_rel: str, pos_b_rel: str) -> str:
-    """DuckDB twin of cms_join_size over staged position relations."""
+    """DuckDB twin of cms_join_size over staged position relations —
+    same depth-spine + COALESCE(0) semantics as the operator."""
     return f"""
-SELECT CAST(MIN(ip) AS BIGINT) AS join_size_est FROM (
+SELECT CAST(COALESCE(MIN(COALESCE(o.ip, 0)), 0) AS BIGINT) AS join_size_est
+FROM (SELECT _j FROM {pos_a_rel}
+      UNION SELECT _j FROM {pos_b_rel}) spine
+LEFT JOIN (
   SELECT a._j, SUM(a.ca * b.cb) AS ip
   FROM (SELECT _j, _pos, COUNT(*) AS ca FROM {pos_a_rel}
         GROUP BY _j, _pos) a
   JOIN (SELECT _j, _pos, COUNT(*) AS cb FROM {pos_b_rel}
         GROUP BY _j, _pos) b
     ON a._j = b._j AND a._pos = b._pos
-  GROUP BY a._j)
+  GROUP BY a._j) o ON o._j = spine._j
 """

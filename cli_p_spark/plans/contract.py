@@ -2447,6 +2447,11 @@ def _kg_edges(spark, sf_dir):
             .distinct(),
             "kg_graph_edges",
         )
+        # evict entries bound to OTHER applications: their DataFrames
+        # reference stopped SparkSessions and would otherwise accumulate
+        # for the process lifetime across bench/test session cycles
+        for k in [k for k in _KG_EDGES_MEMO if k[0] != key[0]]:
+            del _KG_EDGES_MEMO[k]
         _KG_EDGES_MEMO[key] = df
     return df
 

@@ -203,9 +203,10 @@ def incremental_dedup_stream(
         )
         # index append AFTER the pairs commit: a replayed batch re-pairs
         # against an index that may already contain it — self-pairs are
-        # impossible (ids equal ⇒ src<dst fails; cross sees only OLDER
-        # appends of the same id, same (src,dst) key) — and never MISSES
-        # a prior batch
+        # filtered inside the operator on BOTH candidate paths (the cross
+        # join and the oversized-bucket star both drop src == dst), and
+        # re-paired cross edges reuse the same (src,dst) key — and the
+        # ordering never MISSES a prior batch
         sig.write.mode("append").parquet(f"{index_dir}/sigs")
         # the persisted band rows the operator already computed — the
         # documented .band_rows hand-off, not a second banding pass

@@ -316,3 +316,28 @@ def test_incremental_lsh_star_guard(spark):
     got = {(r["src"], r["dst"]) for r in inc.collect()}
     assert got == {("n000", "c000")}  # min corpus id only, not 20 pairs
     inc.signature_cache.unpersist()
+
+
+def test_incremental_lsh_star_replay_no_self_pair(spark):
+    """ADVICE r4: an at-least-once REPLAYED batch doc that is also the
+    min id of an oversized index bucket must not star to itself — the
+    star path needs the same src != dst guard as the cross path."""
+    from cli_p_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus_rows = [(f"c{i:03d}", text) for i in range(20)]
+    new_rows = [("c000", text)]  # replay of the bucket-min corpus doc
+    corpus = spark.createDataFrame(corpus_rows, "id string, text string")
+    new = spark.createDataFrame(new_rows, "id string, text string")
+    c_sig = minhash_signatures(corpus, "text", "id")
+    n_sig = minhash_signatures(new, "text", "id")
+    inc = incremental_lsh_pairs(
+        n_sig, c_sig, jaccard_threshold=0.5, max_bucket=5,
+    )
+    got = {(r["src"], r["dst"]) for r in inc.collect()}
+    assert all(s != d for s, d in got)
+    assert got == set()  # star target IS the replayed doc -> nothing
+    inc.signature_cache.unpersist()
