@@ -767,6 +767,94 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_cluster_assign(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    nlist: int = 100,
+    seed: int = SEED,
+) -> DataFrame:
+    """(_nid, _emb, bucket): unit-normalized embeddings with their
+    k-means cluster id — the clustering stage of SemDeDup (Abbas et al.
+    2023, arXiv:2303.09540).  Pure composition of existing machinery:
+    _unit_vectors -> train_centroids_distributed (bounded seeded sample,
+    no driver collect of the corpus) -> add_bucket (vectorized argmax
+    assignment).  Split out so a contract oracle can stage the
+    assignment and replay everything downstream in SQL."""
+    from .ann import add_bucket, train_centroids_distributed
+
+    unit = _unit_vectors(df, embedding_col, id_col)
+    centroids = train_centroids_distributed(
+        unit, nlist=nlist, seed=seed, embedding_col="_emb"
+    )
+    return add_bucket(unit, centroids, embedding_col="_emb")
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame, tau: float
+) -> DataFrame:
+    """(src, dst, cosine) pairs with cosine >= tau WITHIN each cluster of
+    a semantic_cluster_assign output — SemDeDup's pruning set.  Unlike
+    embedding_neardup_pairs (all pairs above tau, multi-probe), the
+    within-cluster restriction is the POINT: candidate volume is
+    sum(|cluster|^2) ~ n^2/nlist, linear in n for nlist ~ n/const, and
+    cluster-boundary misses are accepted by design (the published
+    operator's trade).  One shuffle on the cluster id; a degenerate hot
+    cluster is a skewed join key that AQE's skew split handles.
+    Embeddings ride the bucket join directly (every candidate needs both
+    vectors for the verify — an ids-only pre-join would just add two
+    more shuffles of the same rows)."""
+    from .link import cosine_expr
+
+    a = assigned.select(
+        "bucket", F.col("_nid").alias("src"), F.col("_emb").alias("_ea")
+    )
+    b = assigned.select(
+        "bucket", F.col("_nid").alias("dst"), F.col("_emb").alias("_eb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("cosine", cosine_expr("_ea", "_eb"))
+        .filter(F.col("cosine") >= tau)
+        .select("src", "dst", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    embedding_col: str,
+    id_col: str,
+    tau: float = 0.8,
+    nlist: int = 100,
+    seed: int = SEED,
+) -> DataFrame:
+    """SemDeDup end-to-end: (doc_id, bucket, keep) — k-means cluster the
+    embeddings, connect within-cluster pairs above cosine ``tau``, keep
+    one representative (min id) per duplicate group.  keep=false rows
+    are the semantic duplicates a curation pass drops.  Composition of
+    semantic_cluster_assign + semantic_dedup_pairs + the existing salted
+    connected-components resolution (ccomp.py)."""
+    from .ccomp import canonical_mapping, connected_components
+
+    assigned = semantic_cluster_assign(
+        df, embedding_col, id_col, nlist=nlist, seed=seed
+    )
+    pairs = semantic_dedup_pairs(assigned, tau)
+    comps = connected_components(pairs.select("src", "dst"))
+    mapping = canonical_mapping(
+        comps, assigned.select(F.col("_nid").alias("node"))
+    )
+    return (
+        assigned.select(F.col("_nid").alias("doc_id"), "bucket")
+        .join(mapping, F.col("doc_id") == F.col("node"))
+        .select(
+            "doc_id", "bucket",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+    )
+
+
 def dedup_keep_representatives(
     df: DataFrame, pairs: DataFrame, id_col: str
 ) -> DataFrame:

@@ -52,6 +52,8 @@ def pagerank_fixed_point(
     checkpoint_every: int = 5,
     checkpoint: str = "auto",
     seeds: DataFrame | None = None,
+    tol_fp: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, rank_fp) after ``iterations`` synchronous PageRank updates
     in integer micro-units (see module docstring for why integer):
@@ -83,7 +85,19 @@ def pagerank_fixed_point(
     via ccomp's `_checkpointer` (mode semantics identical: 'reliable'
     for cluster runs with a checkpoint dir, 'local' single-machine,
     'auto' picks).  Checkpointing is a lineage/plan concern only — the
-    integer ranks are bit-identical with or without it."""
+    integer ranks are bit-identical with or without it.
+
+    ``tol_fp``: optional convergence tolerance in fixed-point micro-units.
+    When set, ``iterations`` becomes a MAXIMUM: after each update the L1
+    delta sum(|r_new - r_old|) is computed (an exact integer — the early
+    exit stays deterministic and bit-exact; exiting at iteration m returns
+    the same ranks as running exactly m fixed iterations), and the loop
+    stops once delta <= tol_fp.  Real KG ranking runs to tolerance, not a
+    fixed count — a converged graph stops paying per-iteration shuffles.
+    Cost: one extra action (join + abs-diff agg) per iteration, only on
+    the tol path; rank frames are persisted per iteration so the delta
+    job doesn't recompute the chain.  ``stats`` (dict) receives
+    {'iterations': m, 'final_delta_fp': d} when provided."""
     from .ccomp import _checkpointer
 
     e = edges.select(
@@ -108,6 +122,8 @@ def pagerank_fixed_point(
     r = nodes.select(
         "node", (F.lit(unit) * F.col("_t")).cast("long").alias("rank_fp")
     )
+    if tol_fp is not None:
+        r = r.persist()
     for it in range(1, iterations + 1):
         contribs = (
             e.join(r, e["_src"] == r["node"])
@@ -118,7 +134,7 @@ def pagerank_fixed_point(
             )
         )
         summed = contribs.groupBy("node").agg(F.sum("_c").alias("_s"))
-        r = nodes.join(summed, "node", "left").select(
+        r_new = nodes.join(summed, "node", "left").select(
             "node",
             (
                 F.lit(base) * F.col("_t")
@@ -128,12 +144,35 @@ def pagerank_fixed_point(
             ).cast("long").alias("rank_fp"),
         )
         if checkpoint_every and it % checkpoint_every == 0 and it < iterations:
-            r = _checkpointer(r, checkpoint)
+            r_new = _checkpointer(r_new, checkpoint)
+        if tol_fp is None:
+            r = r_new
+            continue
+        r_new = r_new.persist()
+        delta = (
+            r_new.join(
+                r.select("node", F.col("rank_fp").alias("_prev")), "node"
+            )
+            .agg(
+                F.sum(F.abs(F.col("rank_fp") - F.col("_prev"))).alias("_d")
+            )
+            .collect()[0]["_d"]
+        )
+        r.unpersist()
+        r = r_new
+        if stats is not None:
+            stats["iterations"] = it
+            stats["final_delta_fp"] = delta
+        if delta <= tol_fp:
+            break
     from .lsh import _CacheHandle
 
     # caller unpersists the static-input caches once ranks are
-    # materialized (same convention as lsh/minhash `.signature_cache`)
-    r.pagerank_cache = _CacheHandle(e, nodes, outdeg)
+    # materialized (same convention as lsh/minhash `.signature_cache`);
+    # on the tol path the returned rank frame itself is persisted (the
+    # delta job needed it) and rides in the same handle
+    handles = (e, nodes, outdeg) if tol_fp is None else (e, nodes, outdeg, r)
+    r.pagerank_cache = _CacheHandle(*handles)
     return r
 
 

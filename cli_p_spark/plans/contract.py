@@ -1374,6 +1374,69 @@ WHERE cos >= 0.4
 """
 
 
+def doc_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table:
+    k-means-cluster, connect within-cluster pairs at cosine >= 0.4,
+    keep the min-id representative per duplicate group — (doc_id,
+    bucket, keep).  The cluster assignment (seeded distributed k-means +
+    argmax bucket, not SQL-expressible) is STAGED; everything downstream
+    — within-cluster pairs, exact f64 cosine, connected components,
+    keep-min — is replayed by the DuckDB twin from the same staged
+    bytes (within-bucket self-join + recursive-CTE min-label CC).
+    Output is strings/ints/bools only — bit-exact."""
+    from ..operators.ccomp import canonical_mapping, connected_components
+    from ..operators.dedup import (
+        semantic_cluster_assign,
+        semantic_dedup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned = _stage(
+        semantic_cluster_assign(e, "embedding", "vec_id", nlist=16),
+        "semdedup_assign",
+    )
+    pairs = semantic_dedup_pairs(assigned, tau=0.4)
+    comps = connected_components(pairs.select("src", "dst"))
+    mapping = canonical_mapping(
+        comps, assigned.select(F.col("_nid").alias("node"))
+    )
+    return (
+        assigned.select(F.col("_nid").alias("doc_id"), "bucket")
+        .join(mapping, F.col("doc_id") == F.col("node"))
+        .select(
+            "doc_id", "bucket",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    rel = _staged_sql("semdedup_assign")
+    return f"""
+WITH RECURSIVE
+asg AS (SELECT _nid AS id, bucket, CAST(_emb AS DOUBLE[]) AS e
+        FROM {rel}),
+p AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.id < b.id
+  WHERE list_dot_product(a.e, b.e) >= CAST(0.4 AS DOUBLE)),
+sym AS (SELECT src AS a, dst AS b FROM p UNION SELECT dst, src FROM p),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+comp AS (
+  SELECT node,
+         CASE WHEN MIN(r) < node THEN MIN(r) ELSE node END AS cid
+  FROM reach GROUP BY node)
+SELECT asg.id AS doc_id, asg.bucket,
+       (COALESCE(c.cid, asg.id) = asg.id) AS keep
+FROM asg LEFT JOIN comp c ON c.node = asg.id
+ORDER BY doc_id
+"""
+
+
 def knn_ivf_exhaustive(spark, sf_dir):
     """Same oracle as knn_bruteforce_cosine, different physical strategy:
     the broadcast IVF search at nprobe=nlist (exact).  Two engines, two
@@ -2499,6 +2562,52 @@ def kg_khop_reach(spark, sf_dir):
     return staged
 
 
+def kg_components(spark, sf_dir):
+    """Weakly-connected-component census of the entity graph — the most
+    basic KG health metric (one blob or many islands, and how big):
+    salted alternating-star connected components (operators/ccomp.py)
+    over the shared staged (subj -> obj) edges, undirected, aggregated
+    to the (component_size, n_components) histogram.  Integer outputs
+    only — bit-exact by construction.  The DuckDB twin replays a
+    recursive-CTE min-label reachability over the SAME staged relation
+    (the KG_CANONICAL_SQL device applied to the whole-graph census).
+    Self-loop edges are excluded on both sides (the census is over the
+    simple undirected graph; ccomp drops src == dst internally)."""
+    from ..operators.ccomp import connected_components
+
+    edges = _kg_edges(spark, sf_dir)
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("component_size")
+    )
+
+
+def _kg_components_sql() -> str:
+    rel = _staged_sql("kg_graph_edges")
+    return f"""
+WITH RECURSIVE
+ed AS (SELECT src, dst FROM {rel} WHERE src <> dst),
+sym AS (SELECT src AS a, dst AS b FROM ed
+        UNION SELECT dst, src FROM ed),
+reach(node, r) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+comp AS (
+  SELECT node,
+         CASE WHEN MIN(r) < node THEN MIN(r) ELSE node END AS cid
+  FROM reach GROUP BY node),
+sizes AS (SELECT cid, COUNT(*) AS component_size FROM comp GROUP BY cid)
+SELECT CAST(component_size AS BIGINT) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY component_size ORDER BY component_size
+"""
+
+
 _ZDIMS = [("l_extendedprice", 900.0, 105000.0), ("l_quantity", 1.0, 51.0)]
 _ZBITS, _ZBUCKET_BITS = 8, 4
 
@@ -2677,9 +2786,15 @@ def _kg_khop_sql() -> str:
 # ROTATION POLICY (round-4 onward): entries past the window MUST have a
 # driver CORRECTNESS row from the immediately previous round, and swap
 # back into the window the round after — so every entry is externally
-# audited at least every other round.  This round the 16 round-2/3-tail
-# entries (incl. never-audited corpus_sample_per_source) rotate IN; the
-# 16 demoted entries below were all driver-green in CORRECTNESS_r03.
+# audited at least every other round.  ROUND 5: the 26 round-4-tail
+# entries rotate IN (positions 25-50), the two NEW entries
+# (kg_components, doc_semantic_dedup) enter in-window, every module
+# edited this round keeps its entries in-window (graph.py ->
+# kg_pagerank/kg_khop_reach, sketch.py -> cms_join_size_orders,
+# dedup.py -> doc_incremental_neardup + the dedup/neardup family), and
+# the 28 demoted entries below the window line were ALL driver-green in
+# CORRECTNESS_r04 with code untouched since.  Round 6 must rotate that
+# 28-entry tail back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "kg_triples_exact": kg_triples_exact,
@@ -2691,49 +2806,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triangles": kg_triangles,
     "kg_personalized_pagerank": kg_personalized_pagerank,
     "kg_span_roundtrip": kg_span_roundtrip,
+    "kg_components": kg_components,
+    "doc_semantic_dedup": doc_semantic_dedup,
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
     "events_sessionization": events_sessionization,
     "events_asof_join": events_asof_join,
-    "hll_distinct_orderkeys": hll_distinct_orderkeys,
-    "histogram_quantiles_price": histogram_quantiles_price,
-    "cms_heavy_tokens": cms_heavy_tokens,
-    "bloom_prune_orders": bloom_prune_orders,
     "cms_join_size_orders": cms_join_size_orders,
-    "dq_expectations": dq_expectations,
-    "zorder_skipping_stats": zorder_skipping_stats,
-    "doc_exact_dedup": doc_exact_dedup,
-    "doc_repetition_stats": doc_repetition_stats,
-    "corpus_split_stats": corpus_split_stats,
-    "corpus_pack_sequences": corpus_pack_sequences,
-    "corpus_mix_stats": corpus_mix_stats,
-    "corpus_sample_per_source": corpus_sample_per_source,
-    "knn_ivf_exhaustive": knn_ivf_exhaustive,
-    "knn_pq_rescore": knn_pq_rescore,
-    "embedding_neardup_cosine": embedding_neardup_cosine,
-    "minhash_dedup_pairs": minhash_dedup_pairs,
     "doc_incremental_neardup": doc_incremental_neardup,
-    "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
+    "doc_exact_dedup": doc_exact_dedup,
+    "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
-    # rotated IN this round (tail since round 2/3):
-    "left_outer_nation_customers": left_outer_nation_customers,
-    "pivot_returnflag_by_status": pivot_returnflag_by_status,
-    "cube_orders_status_priority": cube_orders_status_priority,
-    "sort_limit_top_orders": sort_limit_top_orders,
-    "case_when_conditional_agg": case_when_conditional_agg,
-    "agg_count_distinct": agg_count_distinct,
-    "string_funcs_part": string_funcs_part,
-    "percentiles_lineitem": percentiles_lineitem,
-    "doc_token_stats": doc_token_stats,
-    "except_customer_only_nations": except_customer_only_nations,
-    "intersect_nations": intersect_nations,
-    "scalar_subquery_above_avg": scalar_subquery_above_avg,
-    "having_big_customers": having_big_customers,
-    "agg_nations_per_region": agg_nations_per_region,
-    "window_running_total": window_running_total,
-    # ---- past the driver's 50-entry window: ALL driver-green in
-    # CORRECTNESS_r03; rotate back into the window next round ----
+    "embedding_neardup_cosine": embedding_neardup_cosine,
+    "knn_ivf_exhaustive": knn_ivf_exhaustive,
+    # rotated IN this round (the round-4 tail, all r03-green):
     "filter_project_pushdown": filter_project_pushdown,
     "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
     "q5_region_revenue": q5_region_revenue,
@@ -2760,6 +2847,36 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_score": doc_quality_score,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "embedding_norm_stats": embedding_norm_stats,
+    # ---- past the driver's 50-entry window: ALL driver-green in
+    # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
+    "hll_distinct_orderkeys": hll_distinct_orderkeys,
+    "histogram_quantiles_price": histogram_quantiles_price,
+    "cms_heavy_tokens": cms_heavy_tokens,
+    "bloom_prune_orders": bloom_prune_orders,
+    "dq_expectations": dq_expectations,
+    "zorder_skipping_stats": zorder_skipping_stats,
+    "doc_repetition_stats": doc_repetition_stats,
+    "corpus_split_stats": corpus_split_stats,
+    "corpus_pack_sequences": corpus_pack_sequences,
+    "corpus_mix_stats": corpus_mix_stats,
+    "corpus_sample_per_source": corpus_sample_per_source,
+    "knn_pq_rescore": knn_pq_rescore,
+    "part_name_fuzzy_pairs": part_name_fuzzy_pairs,
+    "left_outer_nation_customers": left_outer_nation_customers,
+    "pivot_returnflag_by_status": pivot_returnflag_by_status,
+    "cube_orders_status_priority": cube_orders_status_priority,
+    "sort_limit_top_orders": sort_limit_top_orders,
+    "case_when_conditional_agg": case_when_conditional_agg,
+    "agg_count_distinct": agg_count_distinct,
+    "string_funcs_part": string_funcs_part,
+    "percentiles_lineitem": percentiles_lineitem,
+    "doc_token_stats": doc_token_stats,
+    "except_customer_only_nations": except_customer_only_nations,
+    "intersect_nations": intersect_nations,
+    "scalar_subquery_above_avg": scalar_subquery_above_avg,
+    "having_big_customers": having_big_customers,
+    "agg_nations_per_region": agg_nations_per_region,
+    "window_running_total": window_running_total,
 }
 
 ORACLES: dict[str, str] = {
@@ -2782,6 +2899,8 @@ ORACLES: dict[str, str] = {
     "events_lag_gap": EVENTS_LAG_SQL,
     "events_sessionization": SESSIONIZE_SQL,
     "events_asof_join": ASOF_SQL,
+    "kg_components": _kg_components_sql(),
+    "doc_semantic_dedup": _semdedup_sql(),
     "hll_distinct_orderkeys": _hll_sql(),
     "histogram_quantiles_price": _histq_sql(),
     "cms_heavy_tokens": _cms_sql(),

@@ -341,3 +341,71 @@ def test_incremental_lsh_star_replay_no_self_pair(spark):
     assert all(s != d for s, d in got)
     assert got == set()  # star target IS the replayed doc -> nothing
     inc.signature_cache.unpersist()
+
+
+def test_semantic_dedup_pairs_exact_within_cluster(spark):
+    """SemDeDup: the clustering is the approximation — WITHIN a cluster
+    the pair set must be exactly the brute-force all-pairs-above-tau
+    result, and the keep decision must be min-id-per-duplicate-group."""
+    import collections
+    import itertools
+
+    import numpy as np
+
+    from cli_p_spark.operators.dedup import (
+        semantic_cluster_assign,
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(3, 16))
+    rows = [
+        (
+            f"d{i:03d}",
+            [float(x) for x in base[i % 3] + 0.3 * rng.normal(size=16)],
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id string, embedding array<float>")
+    tau = 0.8
+    asg = semantic_cluster_assign(df, "embedding", "id", nlist=6).persist()
+    got = {
+        (r["src"], r["dst"]): r["cosine"]
+        for r in semantic_dedup_pairs(asg, tau).collect()
+    }
+
+    pdf = asg.toPandas()
+    by_bucket = collections.defaultdict(list)
+    for _, r in pdf.iterrows():
+        by_bucket[r["bucket"]].append((r["_nid"], np.asarray(r["_emb"], dtype=np.float64)))
+    want = {}
+    for members in by_bucket.values():
+        for (ia, ea), (ib, eb) in itertools.combinations(sorted(members), 2):
+            cos = float(ea @ eb)
+            if cos >= tau:
+                want[(ia, ib)] = cos
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+    # keep decision: min id of each connected pair-group; singletons kept
+    parent = {i: i for i, _ in ((r[0], 0) for r in rows)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in want:
+        parent[find(a)] = find(b)
+    groups = collections.defaultdict(set)
+    for i, _ in rows:
+        groups[find(i)].add(i)
+    want_keep = {min(g) for g in groups.values()}
+    out = semantic_dedup(df, "embedding", "id", tau=tau, nlist=6)
+    got_keep = {r["doc_id"] for r in out.collect() if r["keep"]}
+    assert got_keep == want_keep
+    assert out.count() == len(rows)
+    asg.unpersist()

@@ -249,3 +249,42 @@ def test_personalized_pagerank_localizes(spark):
         ranks[f"b{i}"] == 0 for i in range(10)
     )
     out.pagerank_cache.unpersist()
+
+
+def test_pagerank_tol_early_exit_on_converged_graph(spark):
+    # directed ring: every node has outdeg 1 and indeg 1, so the very
+    # first update maps unit -> base + 0.85*unit = unit exactly (integer
+    # arithmetic) -- delta is 0 after iteration 1 and the tol path must
+    # exit immediately, bit-identical to the full fixed-iteration run
+    n = 12
+    edges = [(f"r{i:02d}", f"r{(i + 1) % n:02d}") for i in range(n)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats: dict = {}
+    out = pagerank_fixed_point(df, iterations=30, tol_fp=0, stats=stats)
+    got = {r["node"]: r["rank_fp"] for r in out.collect()}
+    out.pagerank_cache.unpersist()
+    assert stats["iterations"] == 1 and stats["final_delta_fp"] == 0
+    fixed = pagerank_fixed_point(df, iterations=30)
+    want = {r["node"]: r["rank_fp"] for r in fixed.collect()}
+    fixed.pagerank_cache.unpersist()
+    assert got == want  # early exit changed nothing
+
+
+def test_pagerank_tol_matches_fixed_iteration_count(spark):
+    # general graph: exiting at iteration m under tol must equal running
+    # exactly m fixed iterations (the early exit is a stopping rule, not
+    # a different algorithm), and m must be < the 30-iteration budget
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(200)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats: dict = {}
+    out = pagerank_fixed_point(df, iterations=30, tol_fp=50, stats=stats)
+    got = {r["node"]: r["rank_fp"] for r in out.collect()}
+    out.pagerank_cache.unpersist()
+    m = stats["iterations"]
+    assert 1 <= m < 30 and stats["final_delta_fp"] <= 50
+    assert got == _py_pagerank_fp(edges, iterations=m)
