@@ -767,6 +767,149 @@ def embedding_neardup_pairs(
     )
 
 
+def setsim_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """All pairs with token-SET Jaccard >= tau_num/tau_den via PREFIX
+    FILTERING (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et al.
+    ICDE'08) — the exact-recall sub-quadratic set-similarity join:
+
+    tokens are globally ordered by (document frequency asc, token asc);
+    a record of L distinct tokens indexes only its first
+    p = L - ceil(tau*L) + 1 tokens in that order (any pair sharing NO
+    prefix token has intersection < tau*L <= the required overlap — the
+    filter is LOSSLESS), so the inverted index is built on RARE tokens
+    and candidate volume is bounded by rare-token df's, not vocabulary
+    hot-words.  A length filter (tau*max(L) <= min(L)) prunes before
+    verification; verification is an exact intersection count (one join
+    on full token sets) with the threshold applied as the INTEGER
+    cross-multiplication den*c >= num*(union) — tau is a rational, so
+    every filter is exact integer arithmetic on every engine (a float
+    ceil(0.8*5) rounds to 5 on doubles and silently shortens the
+    prefix).  The reported jaccard is c/union in f64 — identical
+    operands, bit-identical quotient cross-engine.
+
+    Scale shape: the global token ranking is ONE vocabulary-sized
+    window (vocabulary, not corpus — the same trade tf-idf makes); the
+    prefix explode carries ~(1-tau)L tokens per doc; candidate joins
+    shuffle ids+lengths only; no crossJoin anywhere.  Output
+    (src, dst, jaccard), src < dst."""
+    from pyspark.sql import Window
+
+    num, den = int(tau_num), int(tau_den)
+
+    def iceil(x):  # ceil(num*x/den) in exact integer arithmetic
+        return F.expr(f"({num}L * {x} + {den - 1}L) div {den}L")
+
+    toks = (
+        df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .distinct()
+    )
+    # global rarity rank: vocabulary-sized single-partition window (the
+    # vocab is the SMALL side at any corpus size; see tfidf_keywords)
+    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    rank = dfreq.select(
+        "_tok",
+        F.row_number().over(Window.orderBy("_df", "_tok")).alias("_rank"),
+    )
+    ranked = toks.join(rank, "_tok")
+    lens = ranked.groupBy("_id").agg(F.count(F.lit(1)).alias("_len"))
+    ranked = ranked.join(lens, "_id")
+    pos = F.row_number().over(
+        Window.partitionBy("_id").orderBy("_rank")
+    )
+    prefix = ranked.select(
+        "_id", "_tok", "_len", pos.alias("_pos")
+    ).filter(F.col("_pos") <= F.col("_len") - iceil("_len") + F.lit(1))
+
+    a = prefix.select(
+        F.col("_id").alias("src"), "_tok", F.col("_len").alias("_la")
+    )
+    b = prefix.select(
+        F.col("_id").alias("dst"), "_tok", F.col("_len").alias("_lb")
+    )
+    cand = (
+        a.join(b, "_tok")
+        .filter(F.col("src") < F.col("dst"))
+        .filter(
+            F.least("_la", "_lb") >= iceil("greatest(_la, _lb)")
+        )
+        .select("src", "dst", "_la", "_lb")
+        .dropDuplicates(["src", "dst"])
+    )
+    ta = toks.select(F.col("_id").alias("src"), "_tok")
+    tb = toks.select(F.col("_id").alias("dst"), "_tok")
+    inter = (
+        cand.select("src", "dst")
+        .join(ta, "src")
+        .join(tb, ["dst", "_tok"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        cand.join(inter, ["src", "dst"])
+        .filter(
+            F.lit(den) * F.col("_c")
+            >= F.lit(num) * (F.col("_la") + F.col("_lb") - F.col("_c"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_c")
+            / (F.col("_la") + F.col("_lb") - F.col("_c")).cast("double"),
+        )
+        .select("src", "dst", "jaccard")
+    )
+
+
+def setsim_prefix_sql(docs_rel: str, id_col: str, text_col: str,
+                      tau_num: int = 4, tau_den: int = 5) -> str:
+    """DuckDB twin of setsim_prefix_pairs: same global (df, token)
+    ranking, same integer prefix/length/threshold arithmetic, same
+    f64-quotient jaccard."""
+    num, den = int(tau_num), int(tau_den)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT CAST({id_col} AS VARCHAR) AS id, tok
+  FROM (SELECT {id_col}, unnest(regexp_split_to_array({text_col}, '\\s+'))
+               AS tok FROM {docs_rel})
+  WHERE tok <> ''),
+rnk AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*), tok) AS r
+  FROM toks GROUP BY tok),
+ranked AS (
+  SELECT t.id, t.tok, r.r,
+         COUNT(*) OVER (PARTITION BY t.id) AS len,
+         ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY r.r) AS pos
+  FROM toks t JOIN rnk r ON r.tok = t.tok),
+prefix AS (
+  SELECT id, tok, len FROM ranked
+  WHERE pos <= len - (({num} * len + {den - 1}) // {den}) + 1),
+cand AS (
+  SELECT DISTINCT a.id AS src, b.id AS dst, a.len AS la, b.len AS lb
+  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+  WHERE LEAST(a.len, b.len)
+        >= (({num} * GREATEST(a.len, b.len) + {den - 1}) // {den})),
+inter AS (
+  SELECT c.src, c.dst, c.la, c.lb, COUNT(*) AS ic
+  FROM cand c
+  JOIN toks x ON x.id = c.src
+  JOIN toks y ON y.id = c.dst AND y.tok = x.tok
+  GROUP BY c.src, c.dst, c.la, c.lb)
+SELECT src, dst,
+       CAST(ic AS DOUBLE) / CAST(la + lb - ic AS DOUBLE) AS jaccard
+FROM inter
+WHERE {den} * ic >= {num} * (la + lb - ic)
+"""
+
+
 def semantic_cluster_assign(
     df: DataFrame,
     embedding_col: str,

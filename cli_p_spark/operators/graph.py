@@ -416,3 +416,91 @@ SELECT (SELECT COUNT(*) FROM e) AS n_edges,
        (SELECT COUNT(*) FROM wedges) AS n_wedges,
        (SELECT COUNT(*) FROM tri) AS n_triangles
 """
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(node, label) after ``iterations`` SYNCHRONOUS label-propagation
+    updates over the undirected simple graph — community detection for
+    the entity graph (Raghavan et al. 2007, made deterministic): every
+    node starts labeled with itself; each round every node adopts the
+    most frequent label among its neighbors, ties broken by MINIMUM
+    label.  Synchronous updates + total-order tie-break = the same
+    labels on any engine, any partitioning (the async variant's
+    update-order dependence is exactly what a distributed setting
+    cannot reproduce).  Fixed iteration count, not convergence:
+    synchronous LPA can 2-cycle on bipartite structures, so a fixed
+    budget is the honest termination rule.
+
+    Scale shape: per round one groupBy(node, label) count (map-side
+    partial agg — a hub's repeated neighbor labels collapse within
+    partitions) + one max join + one min-label agg; label state is one
+    row per node; lineage cut every round via ccomp's checkpointer.
+    All strings/ints — hash-checkable cross-engine."""
+    from .ccomp import _checkpointer
+    from .lsh import _CacheHandle
+
+    sym = (
+        edges.select(F.col(src_col).alias("_a"), F.col(dst_col).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("_a"), F.col(src_col).alias("_b")
+            ).filter(F.col("_a") != F.col("_b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels, sym["_b"] == labels["node"])
+            .groupBy(F.col("_a").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        mx = counts.groupBy("n").agg(F.max("_c").alias("_mx"))
+        labels = (
+            counts.join(mx, "n")
+            .filter(F.col("_c") == F.col("_mx"))
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("n").alias("node"), "label")
+        )
+        labels = _checkpointer(labels, checkpoint)
+    labels.lpa_cache = _CacheHandle(sym)
+    return labels
+
+
+def lpa_sql(edges_rel: str, iterations: int = 4) -> str:
+    """DuckDB twin of label_propagation — the synchronous rounds
+    unrolled as chained CTEs (count -> max -> min-label), same
+    tie-break, integer/string outputs only."""
+    parts = [
+        f"""sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM {edges_rel} WHERE src <> dst
+    UNION ALL
+    SELECT dst, src FROM {edges_rel} WHERE src <> dst))""",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""c{i} AS (
+  SELECT s.a AS n, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{i - 1} l ON l.node = s.b
+  GROUP BY s.a, l.label),
+m{i} AS (SELECT n, MAX(c) AS mx FROM c{i} GROUP BY n),
+l{i} AS (
+  SELECT c.n AS node, MIN(c.label) AS label
+  FROM c{i} c JOIN m{i} m ON m.n = c.n AND c.c = m.mx
+  GROUP BY c.n)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{iterations}"
+    )

@@ -1374,6 +1374,27 @@ WHERE cos >= 0.4
 """
 
 
+def doc_setsim_pairs(spark, sf_dir):
+    """Prefix-filtered set-similarity self-join (AllPairs/PPJoin) over
+    the documents table at token-set jaccard >= 3/5 — the exact-recall
+    sub-quadratic alternative to the estimator-based MinHash path
+    (operators/dedup.py setsim_prefix_pairs; every filter is integer
+    arithmetic on the rational threshold, so both engines agree
+    bit-for-bit including at threshold boundaries)."""
+    from ..operators.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(
+        _docs_as_text(spark, sf_dir), "text", "doc_id",
+        tau_num=3, tau_den=5,
+    )
+
+
+def _setsim_sql() -> str:
+    from ..operators.dedup import setsim_prefix_sql
+
+    return setsim_prefix_sql("documents", "doc_id", "text", 3, 5)
+
+
 def doc_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table:
     k-means-cluster, connect within-cluster pairs at cosine >= 0.4,
@@ -2562,6 +2583,32 @@ def kg_khop_reach(spark, sf_dir):
     return staged
 
 
+def kg_communities(spark, sf_dir):
+    """Community detection over the entity graph: 4 synchronous
+    label-propagation rounds (operators/graph.py label_propagation —
+    most-frequent neighbor label, ties to MINIMUM label; deterministic
+    by construction) on the shared staged (subj -> obj) edges,
+    undirected.  Returns the full (node, label) mapping — strings only,
+    bit-exact; the DuckDB twin unrolls the same rounds as chained
+    count/max/min-label CTEs over the same staged relation."""
+    from ..operators.graph import label_propagation
+
+    edges = _kg_edges(spark, sf_dir)
+    out = label_propagation(edges, iterations=4)
+    staged = _stage(out.orderBy("node"), "kg_lpa_out")
+    out.lpa_cache.unpersist()
+    return staged
+
+
+def _kg_communities_sql() -> str:
+    from ..operators.graph import lpa_sql
+
+    return (
+        lpa_sql(_staged_sql("kg_graph_edges"), iterations=4)
+        + "\nORDER BY node"
+    )
+
+
 def kg_components(spark, sf_dir):
     """Weakly-connected-component census of the entity graph — the most
     basic KG health metric (one blob or many islands, and how big):
@@ -2787,14 +2834,16 @@ def _kg_khop_sql() -> str:
 # driver CORRECTNESS row from the immediately previous round, and swap
 # back into the window the round after — so every entry is externally
 # audited at least every other round.  ROUND 5: the 26 round-4-tail
-# entries rotate IN (positions 25-50), the two NEW entries
-# (kg_components, doc_semantic_dedup) enter in-window, every module
-# edited this round keeps its entries in-window (graph.py ->
-# kg_pagerank/kg_khop_reach, sketch.py -> cms_join_size_orders,
-# dedup.py -> doc_incremental_neardup + the dedup/neardup family), and
-# the 28 demoted entries below the window line were ALL driver-green in
-# CORRECTNESS_r04 with code untouched since.  Round 6 must rotate that
-# 28-entry tail back in.
+# entries rotate IN (positions 25-50), the four NEW entries
+# (kg_components, kg_communities, doc_semantic_dedup, doc_setsim_pairs)
+# enter in-window, every module edited this round keeps its entries
+# in-window (graph.py -> kg_pagerank/kg_khop_reach, sketch.py ->
+# cms_join_size_orders, dedup.py -> doc_incremental_neardup + the
+# dedup/neardup family), and the 30 demoted entries below the window
+# line (incl. knn_ivf_exhaustive and events_asof_join — ann.py/asof.py
+# untouched this round) were ALL driver-green in CORRECTNESS_r04 with
+# code untouched since.  Round 6 must rotate that 30-entry tail back
+# in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "kg_triples_exact": kg_triples_exact,
@@ -2807,19 +2856,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_personalized_pagerank": kg_personalized_pagerank,
     "kg_span_roundtrip": kg_span_roundtrip,
     "kg_components": kg_components,
+    "kg_communities": kg_communities,
     "doc_semantic_dedup": doc_semantic_dedup,
+    "doc_setsim_pairs": doc_setsim_pairs,
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
     "events_sessionization": events_sessionization,
-    "events_asof_join": events_asof_join,
     "cms_join_size_orders": cms_join_size_orders,
     "doc_incremental_neardup": doc_incremental_neardup,
     "doc_exact_dedup": doc_exact_dedup,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
     "embedding_neardup_cosine": embedding_neardup_cosine,
-    "knn_ivf_exhaustive": knn_ivf_exhaustive,
     # rotated IN this round (the round-4 tail, all r03-green):
     "filter_project_pushdown": filter_project_pushdown,
     "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
@@ -2849,6 +2898,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": embedding_norm_stats,
     # ---- past the driver's 50-entry window: ALL driver-green in
     # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
+    "knn_ivf_exhaustive": knn_ivf_exhaustive,
+    "events_asof_join": events_asof_join,
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
     "histogram_quantiles_price": histogram_quantiles_price,
     "cms_heavy_tokens": cms_heavy_tokens,
@@ -2900,7 +2951,9 @@ ORACLES: dict[str, str] = {
     "events_sessionization": SESSIONIZE_SQL,
     "events_asof_join": ASOF_SQL,
     "kg_components": _kg_components_sql(),
+    "kg_communities": _kg_communities_sql(),
     "doc_semantic_dedup": _semdedup_sql(),
+    "doc_setsim_pairs": _setsim_sql(),
     "hll_distinct_orderkeys": _hll_sql(),
     "histogram_quantiles_price": _histq_sql(),
     "cms_heavy_tokens": _cms_sql(),

@@ -409,3 +409,55 @@ def test_semantic_dedup_pairs_exact_within_cluster(spark):
     assert got_keep == want_keep
     assert out.count() == len(rows)
     asg.unpersist()
+
+
+def test_setsim_prefix_matches_bruteforce(spark, neardup_df):
+    """Prefix filtering must be LOSSLESS: the pair set and jaccard
+    values equal the brute-force all-pairs token-SET jaccard result,
+    including threshold-boundary pairs (integer threshold arithmetic)."""
+    from cli_p_spark.operators.dedup import setsim_prefix_pairs
+
+    rows, df = neardup_df
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in setsim_prefix_pairs(
+            df, "text", "id", tau_num=3, tau_den=5
+        ).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if u and 5 * c >= 3 * u:
+                want[(a, b)] = c / u
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k]  # same integer operands -> exact
+    assert len(got) > 0
+
+
+def test_setsim_prefix_boundary_exact(spark):
+    """ceil(tau*L) on floats rounds 0.8*5 up to 5 and silently drops
+    boundary pairs; the integer arithmetic must keep them: two 5-token
+    sets sharing 4 tokens have jaccard 4/6 < 0.8 (correctly out), but
+    a doc equal to another's 4-token subset plus nothing (4/5 = 0.8)
+    is exactly at threshold and must be found."""
+    from cli_p_spark.operators.dedup import setsim_prefix_pairs
+
+    rows = [
+        ("a", "t1 t2 t3 t4 t5"),
+        ("b", "t1 t2 t3 t4"),      # jaccard(a,b) = 4/5 = tau exactly
+        ("c", "t1 t2 t3 x1 x2"),   # jaccard(a,c) = 3/7 < tau
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        (r["src"], r["dst"]): r["jaccard"]
+        for r in setsim_prefix_pairs(
+            df, "text", "id", tau_num=4, tau_den=5
+        ).collect()
+    }
+    assert set(got) == {("a", "b")}
+    assert got[("a", "b")] == 0.8

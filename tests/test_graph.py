@@ -288,3 +288,59 @@ def test_pagerank_tol_matches_fixed_iteration_count(spark):
     m = stats["iterations"]
     assert 1 <= m < 30 and stats["final_delta_fp"] <= 50
     assert got == _py_pagerank_fp(edges, iterations=m)
+
+
+def _py_lpa(edges, iterations=4):
+    sym = set()
+    for u, v in edges:
+        if u != v:
+            sym.add((u, v)); sym.add((v, u))
+    nodes = {a for a, _ in sym}
+    labels = {n: n for n in nodes}
+    for _ in range(iterations):
+        from collections import Counter, defaultdict
+        neigh = defaultdict(Counter)
+        for a, b in sym:
+            neigh[a][labels[b]] += 1
+        labels = {
+            n: min(l for l, c in cnt.items() if c == max(cnt.values()))
+            for n, cnt in neigh.items()
+        }
+    return labels
+
+
+def test_label_propagation_matches_python(spark):
+    from cli_p_spark.operators.graph import label_propagation
+
+    rng = random.Random(23)
+    nodes = [f"n{i}" for i in range(50)]
+    edges = sorted(
+        {(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)}
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = label_propagation(df, iterations=4)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    out.lpa_cache.unpersist()
+    assert got == _py_lpa(edges, 4)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 6-cliques bridged by one edge: LPA must keep them as two
+    communities, each labeled by its min member."""
+    from itertools import combinations
+
+    from cli_p_spark.operators.graph import label_propagation
+
+    a = [f"a{i}" for i in range(6)]
+    b = [f"b{i}" for i in range(6)]
+    edges = (
+        list(combinations(a, 2)) + list(combinations(b, 2))
+        + [("a0", "b0")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = label_propagation(df, iterations=4)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    out.lpa_cache.unpersist()
+    assert all(got[n] == "a0" for n in a)
+    assert all(got[n] == "b0" for n in b)

@@ -45,6 +45,8 @@ def main():
         "dq_expectations",
         "doc_incremental_neardup",
         "part_name_fuzzy_pairs",
+        "doc_setsim_pairs",
+        "doc_semantic_dedup",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
@@ -67,6 +69,7 @@ def main():
 
     from cli_p_spark.operators.graph import (
         khop_reachability,
+        label_propagation,
         pagerank_fixed_point,
         triangle_count,
     )
@@ -82,10 +85,13 @@ def main():
         ("kg_khop_reach (operator plan)",
          khop_reachability(edges, seeds, k=3)),
         ("kg_triangles (operator plan)", triangle_count(edges)),
+        ("kg_communities (operator plan)",
+         label_propagation(edges, iterations=4)),
     ]
     for name, df in graph_ops:
         out.append(f"\n## {name}\n\n```\n{fmt(df)}\n```\n")
-        for attr in ("pagerank_cache", "khop_cache", "triangle_cache"):
+        for attr in ("pagerank_cache", "khop_cache", "triangle_cache",
+                     "lpa_cache"):
             c = getattr(df, attr, None)
             if c is not None:
                 c.unpersist()
