@@ -347,3 +347,73 @@ def pack_sequences(
             F.col("n_tokens").cast("double") / F.lit(budget),
         )
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text): overlapping fixed-size
+    token windows per document — the context-window chunking step every
+    retrieval/pretraining pipeline runs before embedding or packing
+    (stride < chunk_tokens gives the standard sliding overlap; the last
+    window of a doc may be short).
+
+    Window starts are 0, stride, 2*stride, ... while start < n_tokens,
+    generated with `sequence` + `slice` — pure Catalyst (one narrow
+    explode, no shuffle at all: the operator is a flatMap over the
+    scan), deterministic strings/ints, hash-checkable cross-engine.
+    A 10^12-doc corpus chunks embarrassingly parallel; downstream
+    per-chunk embedding reuses the fused encode machinery."""
+    if not (0 < stride):
+        raise ValueError("stride must be positive")
+    toks = F.split(F.col(content_col), r"\s+")
+    base = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    starts = F.sequence(
+        F.lit(0), F.col("_n") - F.lit(1), F.lit(stride)
+    )
+    exploded = base.select(
+        "doc_id", "_toks",
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("_start") + F.lit(1), F.lit(chunk_tokens)
+    )
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def chunk_windows_sql(
+    docs_rel: str, id_col: str, content_col: str,
+    chunk_tokens: int = 128, stride: int = 96,
+) -> str:
+    """DuckDB twin of chunk_windows: same whitespace split, same start
+    sequence, same 1-based inclusive slice semantics."""
+    return f"""
+WITH base AS (
+  SELECT CAST({id_col} AS VARCHAR) AS doc_id,
+         regexp_split_to_array({content_col}, '\\s+') AS toks,
+         len(regexp_split_to_array({content_col}, '\\s+')) AS n
+  FROM {docs_rel}),
+starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n - 1, {stride})) AS start
+  FROM base WHERE n > 0)
+SELECT doc_id, CAST(start // {stride} AS INTEGER) AS chunk_idx,
+       CAST(len(toks[start + 1 : start + {chunk_tokens}]) AS INTEGER)
+         AS n_tokens,
+       array_to_string(toks[start + 1 : start + {chunk_tokens}], ' ')
+         AS chunk_text
+FROM starts
+"""

@@ -1374,6 +1374,25 @@ WHERE cos >= 0.4
 """
 
 
+def corpus_chunk_windows(spark, sf_dir):
+    """Sliding context-window chunking of the documents table
+    (operators/corpus.py chunk_windows): 128-token windows at stride
+    96 — one narrow explode, zero shuffle; the retrieval/pretraining
+    chunking step ahead of per-chunk embedding.  Strings/ints only."""
+    from ..operators.corpus import chunk_windows
+
+    return chunk_windows(
+        _docs_as_text(spark, sf_dir), "text", "doc_id",
+        chunk_tokens=128, stride=96,
+    )
+
+
+def _chunk_sql() -> str:
+    from ..operators.corpus import chunk_windows_sql
+
+    return chunk_windows_sql("documents", "doc_id", "text", 128, 96)
+
+
 def doc_setsim_pairs(spark, sf_dir):
     """Prefix-filtered set-similarity self-join (AllPairs/PPJoin) over
     the documents table at token-set jaccard >= 3/5 — the exact-recall
@@ -2834,16 +2853,16 @@ def _kg_khop_sql() -> str:
 # driver CORRECTNESS row from the immediately previous round, and swap
 # back into the window the round after — so every entry is externally
 # audited at least every other round.  ROUND 5: the 26 round-4-tail
-# entries rotate IN (positions 25-50), the four NEW entries
-# (kg_components, kg_communities, doc_semantic_dedup, doc_setsim_pairs)
-# enter in-window, every module edited this round keeps its entries
-# in-window (graph.py -> kg_pagerank/kg_khop_reach, sketch.py ->
-# cms_join_size_orders, dedup.py -> doc_incremental_neardup + the
-# dedup/neardup family), and the 30 demoted entries below the window
-# line (incl. knn_ivf_exhaustive and events_asof_join — ann.py/asof.py
-# untouched this round) were ALL driver-green in CORRECTNESS_r04 with
-# code untouched since.  Round 6 must rotate that 30-entry tail back
-# in.
+# entries rotate IN (positions 25-50), the five NEW entries
+# (kg_components, kg_communities, doc_semantic_dedup, doc_setsim_pairs,
+# corpus_chunk_windows) enter in-window, every module edited this round
+# keeps its entries in-window (graph.py -> kg_pagerank/kg_khop_reach,
+# sketch.py -> cms_join_size_orders, dedup.py -> doc_incremental_neardup
+# + the dedup/neardup family), and the 31 demoted entries below the
+# window line (incl. knn_ivf_exhaustive, events_asof_join,
+# media_frame_plan — ann.py/asof.py/media.py untouched this round) were
+# ALL driver-green in CORRECTNESS_r04 with code untouched since.
+# Round 6 must rotate that 31-entry tail back in.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "kg_triples_exact": kg_triples_exact,
@@ -2859,9 +2878,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_communities": kg_communities,
     "doc_semantic_dedup": doc_semantic_dedup,
     "doc_setsim_pairs": doc_setsim_pairs,
+    "corpus_chunk_windows": corpus_chunk_windows,
     "curate_training_corpus": curate_training_corpus,
     "media_decode_stats": media_decode_stats,
-    "media_frame_plan": media_frame_plan,
     "events_sessionization": events_sessionization,
     "cms_join_size_orders": cms_join_size_orders,
     "doc_incremental_neardup": doc_incremental_neardup,
@@ -2900,6 +2919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "events_asof_join": events_asof_join,
+    "media_frame_plan": media_frame_plan,
     "hll_distinct_orderkeys": hll_distinct_orderkeys,
     "histogram_quantiles_price": histogram_quantiles_price,
     "cms_heavy_tokens": cms_heavy_tokens,
@@ -2954,6 +2974,7 @@ ORACLES: dict[str, str] = {
     "kg_communities": _kg_communities_sql(),
     "doc_semantic_dedup": _semdedup_sql(),
     "doc_setsim_pairs": _setsim_sql(),
+    "corpus_chunk_windows": _chunk_sql(),
     "hll_distinct_orderkeys": _hll_sql(),
     "histogram_quantiles_price": _histq_sql(),
     "cms_heavy_tokens": _cms_sql(),

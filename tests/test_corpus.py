@@ -245,3 +245,32 @@ def test_pack_sequences_bins_are_contiguous_and_bounded(spark):
         # budget - max_doc_tokens; weaker invariant: all but last
         # non-empty)
         assert all(r["n_docs"] >= 1 for r in rs)
+
+
+def test_chunk_windows_matches_python(spark):
+    """Sliding-window chunking == a pure-Python replication: starts at
+    0, stride, ... while < n_tokens; last window may be short; single
+    short docs produce exactly one chunk."""
+    import re
+
+    from cli_p_spark.operators.corpus import chunk_windows
+
+    rows = [
+        ("d1", " ".join(f"t{i}" for i in range(10))),
+        ("d2", "one two three"),
+        ("d3", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_windows(
+            df, "text", "doc_id", chunk_tokens=4, stride=3
+        ).collect()
+    }
+    want = {}
+    for did, text in rows:
+        toks = re.split(r"\s+", text)
+        for ci, s in enumerate(range(0, len(toks), 3)):
+            w = toks[s: s + 4]
+            want[(did, ci)] = (len(w), " ".join(w))
+    assert got == want
