@@ -402,3 +402,127 @@ LEFT JOIN (
     ON a._j = b._j AND a._pos = b._pos
   GROUP BY a._j) o ON o._j = spine._j
 """
+
+
+# --- HLL small-range (linear counting) correction ----------------------
+#
+# Flajolet et al. 2007 §4: below n ~ 2.5m the raw HLL estimator is
+# biased high; when empty registers remain, the linear-counting
+# estimate  m * ln(m / V)  (V = number of EMPTY registers) is the MLE
+# and cuts small-range error from ~30%+ to ~1%.  Portability note: ln
+# is the one transcendental in this family — Math.log (JVM) and libm
+# log agree to <=1 ulp but are not guaranteed bit-identical, so the
+# corrected estimate is ROUND(..., 3)ed on BOTH engines; a 1-ulp input
+# wobble (~1e-13 relative) flips a 3-dp rounding only on an exact
+# .0005 boundary, which a transcendental of a small-integer rational
+# never hits.  Everything else stays integer-exact (same register
+# pipeline as hll_from_hashes above, untouched).
+
+
+def hll_distinct_corrected(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    log2m: int = 10,
+) -> DataFrame:
+    """(group_cols..., method, hll_estimate): HLL with the small-range
+    linear-counting branch.  method ('linear' | 'raw') makes the branch
+    selection observable/hash-checkable."""
+    gcols = list(group_cols or [])
+    return hll_corrected_from_hashes(
+        df.select(*gcols, F.xxhash64(F.col(key_col)).alias("_h")),
+        "_h",
+        gcols,
+        log2m,
+    )
+
+
+def hll_corrected_from_hashes(
+    df: DataFrame,
+    hash_col: str,
+    group_cols: list[str] | None = None,
+    log2m: int = 10,
+) -> DataFrame:
+    """Same staged-hash discipline as hll_from_hashes: DuckDB replays
+    the exact bytes (no xxhash64 there)."""
+    gcols = list(group_cols or [])
+    m = 1 << log2m
+    est_num = repr(_alpha(m) * m * m * float(1 << RANK_CAP))
+
+    h = F.col(hash_col)
+    bucket = F.pmod(h, F.lit(m))
+    rest = F.shiftrightunsigned(h, log2m)
+    lowest = rest.bitwiseAND(-rest)
+    rank = F.when(rest == 0, F.lit(RANK_CAP)).otherwise(
+        F.least(F.bit_count(lowest - 1) + 1, F.lit(RANK_CAP))
+    )
+    regs = (
+        df.select(*gcols, bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(*gcols, "_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+    seen = regs.groupBy(*gcols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {RANK_CAP} - _m)")).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    total = F.col("_s") + (F.lit(m) - F.col("_nb")) * F.lit(1 << RANK_CAP)
+    raw = F.lit(float(est_num)) / total.cast("double")
+    v_empty = F.lit(m) - F.col("_nb")  # V = empty registers
+    use_linear = (raw <= F.lit(2.5 * m)) & (v_empty > 0)
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
+    return seen.select(
+        *gcols,
+        F.when(use_linear, F.lit("linear"))
+        .otherwise(F.lit("raw"))
+        .alias("method"),
+        F.round(F.when(use_linear, linear).otherwise(raw), 3).alias(
+            "hll_estimate"
+        ),
+    )
+
+
+def hll_corrected_sql(
+    source_rel: str,
+    key_hash_col: str,
+    group_cols: list[str] | None = None,
+    log2m: int = 10,
+) -> str:
+    """DuckDB twin of hll_corrected_from_hashes over staged hashes."""
+    gcols = list(group_cols or [])
+    m = 1 << log2m
+    est_num = repr(_alpha(m) * m * m * float(1 << RANK_CAP))
+    gsel = "".join(f"{c}, " for c in gcols)
+    gby = ("GROUP BY " + ", ".join(gcols)) if gcols else ""
+    return f"""
+WITH hashed AS (
+  SELECT {gsel}
+         {key_hash_col} % {m} + CASE WHEN {key_hash_col} % {m} < 0
+                                     THEN {m} ELSE 0 END AS b,
+         ({key_hash_col} >> {log2m}) & {(1 << (64 - log2m)) - 1} AS rest
+  FROM {source_rel}),
+ranked AS (
+  SELECT {gsel} b,
+         CASE WHEN rest = 0 THEN {RANK_CAP}
+              ELSE LEAST(bit_count((rest & -rest) - 1) + 1, {RANK_CAP})
+         END AS r
+  FROM hashed),
+regs AS (SELECT {gsel} b, MAX(r) AS mr FROM ranked GROUP BY {gsel} b),
+s AS (
+  SELECT {gsel}
+         CAST(SUM(1::BIGINT << ({RANK_CAP} - mr)) AS BIGINT) AS sm,
+         COUNT(*) AS nb
+  FROM regs {gby}),
+est AS (
+  SELECT {gsel}
+         {est_num} / CAST(sm + ({m} - nb) * (1::BIGINT << {RANK_CAP})
+                          AS DOUBLE) AS raw,
+         {m} - nb AS v
+  FROM s)
+SELECT {gsel}
+       CASE WHEN raw <= {2.5 * m!r} AND v > 0 THEN 'linear'
+            ELSE 'raw' END AS method,
+       ROUND(CASE WHEN raw <= {2.5 * m!r} AND v > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                  ELSE raw END, 3) AS hll_estimate
+FROM est
+"""

@@ -344,3 +344,75 @@ def test_label_propagation_two_cliques(spark):
     out.lpa_cache.unpersist()
     assert all(got[n] == "a0" for n in a)
     assert all(got[n] == "b0" for n in b)
+
+
+# --- closeness centrality ---------------------------------------------
+
+
+def test_closeness_path_graph(spark):
+    # directed path 0 -> 1 -> 2 -> 3: from root 0, dists 1,2,3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node bigint")
+    from cli_p_spark.operators.graph import closeness_centrality
+
+    out = closeness_centrality(edges, seeds, max_hops=5)
+    rows = {r["root"]: r for r in out.collect()}
+    out.closeness_cache.unpersist()
+    assert rows[0]["n_reached"] == 3
+    assert rows[0]["total_dist"] == 6  # 1 + 2 + 3
+    assert rows[0]["closeness"] == 3 / 6
+    # node 3 is a sink: reaches nothing
+    assert rows[3]["n_reached"] == 0
+    assert rows[3]["total_dist"] == 0
+    assert rows[3]["closeness"] == 0.0
+
+
+def test_closeness_star_and_hop_cap(spark):
+    # star: center 0 -> leaves 1..5; plus a long tail 5 -> 6 -> 7
+    e = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    from cli_p_spark.operators.graph import closeness_centrality
+
+    full = closeness_centrality(edges, seeds, max_hops=6)
+    r = full.collect()[0]
+    full.closeness_cache.unpersist()
+    assert r["n_reached"] == 7 and r["total_dist"] == 5 * 1 + 2 + 3
+    capped = closeness_centrality(edges, seeds, max_hops=1)
+    rc = capped.collect()[0]
+    capped.closeness_cache.unpersist()
+    assert rc["n_reached"] == 5 and rc["total_dist"] == 5
+
+
+def test_closeness_matches_duckdb_twin(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import (
+        closeness_centrality,
+        closeness_sql,
+    )
+
+    rng = random.Random(11)
+    e = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    e = [(a, b) for a, b in e if a != b]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    p = str(tmp_path / "edges.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node bigint")
+    out = closeness_centrality(edges, seeds, max_hops=6)
+    got = sorted(
+        (r["root"], r["n_reached"], r["total_dist"], r["closeness"])
+        for r in out.collect()
+    )
+    out.closeness_cache.unpersist()
+    sql = closeness_sql(
+        f"read_parquet('{p}/*.parquet')",
+        "SELECT 0 AS node UNION ALL SELECT 1 UNION ALL SELECT 2",
+        max_hops=6,
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want

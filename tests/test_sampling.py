@@ -1,0 +1,82 @@
+"""Priority sampling (operators/sampling.py): exact agreement with a
+pure-Python replication of the same md5-derived priorities, estimator
+properties (tau threshold, unbiased subset-sum identity when n <= k),
+and determinism across runs/partitionings."""
+
+from __future__ import annotations
+
+import hashlib
+
+from cli_p_spark.operators.sampling import TWO52, priority_sample
+
+
+def _py_priority(doc_id, seed="17"):
+    h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+    return lambda w: w / ((int(h[:13], 16) + 1) / TWO52)
+
+
+def _py_sample(items, k, seed="17"):
+    # items: (id, weight) with weight > 0
+    pri = sorted(
+        (
+            (_py_priority(i, seed)(w), i, w)
+            for i, w in items
+            if w > 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = pri[k][0] if len(pri) > k else 0.0
+    return {
+        i: (w, q, max(float(w), tau)) for q, i, w in pri[:k]
+    }
+
+
+def test_matches_python_replication(spark):
+    items = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(items, "doc_id bigint, w bigint")
+    got = {
+        r["id"]: (r["weight"], r["priority"], r["est_weight"])
+        for r in priority_sample(df, "w", 50, "doc_id").collect()
+    }
+    want = _py_sample(items, 50)
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == want[i][1]  # bit-identical priorities
+        assert got[i][2] == want[i][2]  # bit-identical estimator
+
+
+def test_small_input_tau_zero(spark):
+    items = [(1, 10), (2, 20), (3, 0)]  # zero weight filtered out
+    df = spark.createDataFrame(items, "doc_id bigint, w bigint")
+    rows = priority_sample(df, "w", 5, "doc_id").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["est_weight"] == float(r["weight"])  # tau = 0
+
+
+def test_partitioning_invariance(spark):
+    items = [(i, i % 7 + 1) for i in range(300)]
+    df1 = spark.createDataFrame(items, "doc_id bigint, w bigint")
+    df8 = df1.repartition(8)
+    a = sorted(
+        (r["id"], r["priority"])
+        for r in priority_sample(df1, "w", 20, "doc_id").collect()
+    )
+    b = sorted(
+        (r["id"], r["priority"])
+        for r in priority_sample(df8, "w", 20, "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_heavier_items_sampled_more(spark):
+    # one huge weight must always be kept: its priority w/u >= w
+    # dominates any unit weight's maximum possible priority only in
+    # expectation — but with w = 10^9 vs 1 and u >= 2^-52 bounded away
+    # via md5, check the empirical property instead: the heavy item's
+    # priority exceeds the median unit priority.
+    items = [(0, 10**9)] + [(i, 1) for i in range(1, 200)]
+    df = spark.createDataFrame(items, "doc_id bigint, w bigint")
+    kept = {r["id"] for r in priority_sample(df, "w", 20, "doc_id").collect()}
+    assert 0 in kept

@@ -229,3 +229,61 @@ def test_cms_join_size_bounds_and_python(spark):
     assert got == min(by_j.values())
     assert got >= true_join
     assert got <= true_join * 1.2  # wide sketch, few keys -> tight
+
+
+# --- HLL small-range (linear counting) correction ---------------------
+
+
+def test_hll_corrected_small_range_beats_raw(spark):
+    from cli_p_spark.operators.sketch import (
+        hll_distinct,
+        hll_distinct_corrected,
+    )
+
+    # 120 distinct keys at m=1024: deep inside the small-range regime
+    df = spark.createDataFrame(
+        [(i % 120,) for i in range(5000)], "k bigint"
+    )
+    corr = hll_distinct_corrected(df, "k", log2m=10).collect()[0]
+    assert corr["method"] == "linear"
+    assert abs(corr["hll_estimate"] - 120) / 120 < 0.05
+    raw = hll_distinct(df, "k", log2m=10).collect()[0]["hll_estimate"]
+    assert abs(corr["hll_estimate"] - 120) <= abs(raw - 120)
+
+
+def test_hll_corrected_large_range_uses_raw(spark):
+    from cli_p_spark.operators.sketch import hll_distinct_corrected
+
+    # 50k distinct at m=64 (2.5m = 160): raw branch
+    df = spark.createDataFrame([(i,) for i in range(50000)], "k bigint")
+    r = hll_distinct_corrected(df, "k", log2m=6).collect()[0]
+    assert r["method"] == "raw"
+    assert abs(r["hll_estimate"] - 50000) / 50000 < 0.35
+
+
+def test_hll_corrected_matches_duckdb_twin(spark, tmp_path):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.sketch import (
+        hll_corrected_from_hashes,
+        hll_corrected_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i % 200) for i in range(3000)], "g int, k bigint"
+    ).select("g", F.xxhash64("k").alias("h"))
+    p = str(tmp_path / "hashes.parquet")
+    df.write.mode("overwrite").parquet(p)
+    staged = spark.read.parquet(p)
+    got = sorted(
+        (r["g"], r["method"], r["hll_estimate"])
+        for r in hll_corrected_from_hashes(
+            staged, "h", ["g"], log2m=8
+        ).collect()
+    )
+    sql = hll_corrected_sql(
+        f"read_parquet('{p}/*.parquet')", "h", ["g"], log2m=8
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
