@@ -50,6 +50,7 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 RUN_CANON = os.environ.get("SPARK_GRAFT_CANON", "1") != "0"
 RUN_512D = os.environ.get("SPARK_GRAFT_512D", "1") != "0"
 RUN_GRAPH = os.environ.get("SPARK_GRAFT_GRAPH", "1") != "0"
+RUN_BEHAVIORAL = os.environ.get("SPARK_GRAFT_BEHAVIORAL", "1") != "0"
 RUN_LINKJOIN = os.environ.get("SPARK_GRAFT_LINKJOIN", "1") != "0"
 LINK_ENTITIES = int(os.environ.get("SPARK_GRAFT_LINK_ENTITIES", "1000000"))
 LINK_MENTIONS = int(os.environ.get("SPARK_GRAFT_LINK_MENTIONS", "20000"))
@@ -516,6 +517,68 @@ def _graph_job(
     return out
 
 
+def _behavioral_job(
+    spark, n_events: int = 5_000_000, n_users: int = 100_000
+) -> dict:
+    """Behavioral-analytics measurement (SCALE.md rows: funnel_counts /
+    priority_sample) on a deterministic hash-generated event log:
+    5x10^6 events over 10^5 users, 5 event types.  The funnel is the
+    single-shuffle HOF plan (one groupBy(user) pass); the sample is
+    TakeOrderedAndProject over 2x10^6 weighted rows — both stages
+    report wall + rows/s so per-round drift is arguable from the
+    record."""
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.funnel import funnel_counts
+    from cli_p_spark.operators.sampling import priority_sample
+
+    types = ["view", "click", "purchase", "signup", "error"]
+    span_us = 30 * 86400 * 1_000_000  # 30 days of traffic
+    ev = (
+        spark.range(n_events)
+        .select(
+            F.pmod(F.xxhash64(F.lit(3), "id"), F.lit(n_users)).alias(
+                "user_id"
+            ),
+            F.expr(
+                f"timestampadd(MICROSECOND,"
+                f" CAST(pmod(xxhash64(4L, id), {span_us}) AS BIGINT),"
+                f" TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+            ).alias("ts"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in types]),
+                (F.pmod(F.xxhash64(F.lit(5), "id"), F.lit(5)) + 1).cast(
+                    "int"
+                ),
+            ).alias("event_type"),
+        )
+        .persist()
+    )
+    ev.count()  # materialize outside the timing
+    out: dict = {"n_events": n_events, "n_users": n_users}
+
+    t0 = time.time()
+    fun = funnel_counts(
+        ev, ["view", "click", "purchase"], window_us=7 * 86400 * 1_000_000
+    ).collect()
+    out["funnel_s"] = round(time.time() - t0, 3)
+    out["funnel_events_per_s"] = round(n_events / out["funnel_s"], 1)
+    out["funnel_step_users"] = [r["n_users"] for r in fun]
+
+    n_docs = 2_000_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.lit(6), "id"), F.lit(10_000)) + 1).alias("w"),
+    )
+    t0 = time.time()
+    samp = priority_sample(docs, "w", 1000, "doc_id").collect()
+    out["sample_s"] = round(time.time() - t0, 3)
+    out["sample_rows_per_s"] = round(n_docs / out["sample_s"], 1)
+    out["sample_k"] = len(samp)
+    ev.unpersist()
+    return out
+
+
 def main():
     from cli_p_spark.fixtures.generate import make_entities
     from cli_p_spark.plans.contract import QUERIES
@@ -601,6 +664,10 @@ def main():
 
     if RUN_GRAPH:
         extra["graph"] = _graph_job(spark)
+        _noise_probe(spark)
+
+    if RUN_BEHAVIORAL:
+        extra["behavioral"] = _behavioral_job(spark)
         _noise_probe(spark)
 
     if RUN_LINKJOIN:

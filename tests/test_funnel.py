@@ -117,3 +117,20 @@ def test_retention_week0_equals_cohort_size(spark):
         .count()
     )
     assert sum(n for (c, o), n in got.items() if o == 0) == firsts
+
+
+def test_funnel_plan_single_shuffle(spark):
+    """Scale gate: the HOF funnel shuffles the event rows ONCE (the
+    groupBy(user) aggregate).  The step spine join is a broadcast of k
+    rows and the final count agg shuffles k rows, not events."""
+    import os
+
+    d = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    ev = spark.read.parquet(f"{d}/events.parquet")
+    out = funnel_counts(ev, STEPS, window_us=3600 * 1_000_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no per-row Python anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the event-volume exchange appears exactly once: hashpartitioning
+    # on the user key; remaining exchanges operate on <= k rows
+    assert plan.count("hashpartitioning(_u") == 1

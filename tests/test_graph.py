@@ -416,3 +416,57 @@ def test_closeness_matches_duckdb_twin(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+# --- Jaccard link prediction ------------------------------------------
+
+
+def test_jaccard_linkpred_square(spark):
+    # 4-cycle 0-1-2-3-0: the two diagonals are perfect predictions
+    # (N(0) == N(2) = {1,3}; N(1) == N(3) = {0,2}) => jaccard 1.0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src bigint, dst bigint"
+    )
+    from cli_p_spark.operators.graph import jaccard_link_prediction
+
+    out = jaccard_link_prediction(edges, min_common=2)
+    rows = sorted(
+        (r["node_a"], r["node_b"], r["n_common"], r["jaccard"])
+        for r in out.collect()
+    )
+    out.linkpred_cache.unpersist()
+    assert rows == [(0, 2, 2, 1.0), (1, 3, 2, 1.0)]
+
+
+def test_jaccard_linkpred_excludes_edges_and_matches_duckdb(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import (
+        jaccard_link_prediction,
+        jaccard_link_sql,
+    )
+
+    rng = random.Random(7)
+    e = list({(rng.randrange(40), rng.randrange(40)) for _ in range(150)})
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    p = str(tmp_path / "lp_edges.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    out = jaccard_link_prediction(edges, min_common=2)
+    got = sorted(
+        (r["node_a"], r["node_b"], r["n_common"], r["jaccard"])
+        for r in out.collect()
+    )
+    # no predicted pair may already be an undirected edge
+    und = {(a, b) for a, b in e} | {(b, a) for a, b in e}
+    for a, b, _, j in got:
+        assert (a, b) not in und and 0.0 < j <= 1.0
+    out.linkpred_cache.unpersist()
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            jaccard_link_sql(f"read_parquet('{p}/*.parquet')", 2)
+        ).fetchall()
+    )
+    assert got == want

@@ -80,3 +80,16 @@ def test_heavier_items_sampled_more(spark):
     df = spark.createDataFrame(items, "doc_id bigint, w bigint")
     kept = {r["id"] for r in priority_sample(df, "w", 20, "doc_id").collect()}
     assert 0 in kept
+
+
+def test_sample_plan_take_ordered_no_global_sort(spark):
+    """Scale gate: top-(k+1) must plan as TakeOrderedAndProject (per-
+    partition heaps + merge), never a global Sort+Exchange of the data."""
+    items = [(i, i % 7 + 1) for i in range(1000)]
+    df = spark.createDataFrame(items, "doc_id bigint, w bigint").repartition(8)
+    out = priority_sample(df, "w", 25, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    # the only rangepartitioning-style global sort allowed is none
+    assert "rangepartitioning" not in plan
