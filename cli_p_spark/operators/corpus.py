@@ -417,3 +417,106 @@ SELECT doc_id, CAST(start // {stride} AS INTEGER) AS chunk_idx,
          AS chunk_text
 FROM starts
 """
+
+
+def pmi_collocations(
+    df: DataFrame,
+    content_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """(w1, w2, n_cooc, lift) — collocation mining over adjacent token
+    pairs: lift = p(w1,w2) / (p(w1) p(w2)) with bigram probabilities
+    from the bigram distribution (N2 pairs) and unigram probabilities
+    from the token distribution (N1 tokens).  Classic PMI is log(lift);
+    the log is left to the consumer so the emitted score stays in the
+    exactly-portable fragment: lift = (c_ab * N1 * N1) /
+    (c_a * c_b * N2) evaluated as an IDENTICAL double expression tree
+    on both engines (every intermediate product of exact integer-valued
+    doubles, then one division) — bit-identical cross-engine, rounded
+    to 6 dp for the record.  Whitespace tokenization, same as
+    repetition_stats.
+
+    Scale shape: one explode for unigrams + one for bigrams, both
+    partial-agg map-side (gram counts collapse within partitions — the
+    repetition_stats discipline); the unigram join keys on the WORD
+    (vocabulary-sized, not corpus-sized); the two totals ride a
+    broadcast 1-row frame.  min_count prunes the bigram tail BEFORE the
+    joins."""
+    toks = F.split(F.col(content_col), " ")
+    base = df.select(toks.alias("_t"))
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_cw"))
+    )
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .filter(F.col("n_cooc") >= min_count)
+    )
+    totals = uni.agg(F.sum("_cw").cast("double").alias("_n1")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("double").alias("_n2"))
+    )
+    u1 = uni.withColumnsRenamed({"w": "w1", "_cw": "_c1"})
+    u2 = uni.withColumnsRenamed({"w": "w2", "_cw": "_c2"})
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_cooc",
+            F.round(
+                (
+                    F.col("n_cooc").cast("double")
+                    * F.col("_n1")
+                    * F.col("_n1")
+                )
+                / (
+                    F.col("_c1").cast("double")
+                    * F.col("_c2").cast("double")
+                    * F.col("_n2")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def pmi_sql(source_rel: str, content_col: str, min_count: int = 5) -> str:
+    """DuckDB twin of pmi_collocations: parallel-unnest bigram zip,
+    identical double expression tree for the lift."""
+    return f"""
+WITH toks AS (SELECT string_split({content_col}, ' ') AS t
+              FROM {source_rel}),
+uni AS (
+  SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY w),
+pairs AS (
+  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS n_cooc FROM pairs GROUP BY w1, w2
+  HAVING COUNT(*) >= {min_count}),
+tot AS (
+  SELECT (SELECT CAST(SUM(cw) AS DOUBLE) FROM uc) AS n1,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs) AS n2)
+SELECT bi.w1, bi.w2, CAST(bi.n_cooc AS BIGINT) AS n_cooc,
+       ROUND((CAST(bi.n_cooc AS DOUBLE) * tot.n1 * tot.n1)
+             / (CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE) * tot.n2),
+             6) AS lift
+FROM bi
+JOIN uc u1 ON u1.w = bi.w1
+JOIN uc u2 ON u2.w = bi.w2
+CROSS JOIN tot
+"""

