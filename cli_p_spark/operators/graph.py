@@ -724,3 +724,172 @@ FROM cand
 JOIN deg dx ON dx.a = cand.x
 JOIN deg dy ON dy.a = cand.y
 """
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(node, betweenness) — source-sampled betweenness centrality
+    (Brandes 2001 dependency accumulation; Bader et al. 2007 sampling):
+    exact Brandes restricted to the given source set, i.e. the sum over
+    sources s of the dependency delta_s(v), the standard estimator at
+    graphs where all-sources Brandes (O(V*E)) is unpayable.
+
+    Forward phase = multi-source BFS carrying (root, node, sigma) with
+    INTEGER shortest-path counts (sigma sums are exact longs — no float
+    order sensitivity); per level one frontier⋈edges shuffle + one anti
+    join + one partial-agg sigma sum, the khop/closeness discipline.
+    Backward phase walks levels deepest-first: delta(v) = sum over
+    successors w of (sigma_v/sigma_w)*(1+delta_w).  Those ARE floats,
+    so every accumulation (successor sum, per-node source sum) is a
+    SORTED-ARRAY FOLD (array_sort + aggregate HOF), making the result
+    a deterministic function of the graph — reproducible across
+    partitionings and bit-comparable to a replication that adds in the
+    same order (tests do exactly that).  Levels are persisted during
+    the forward pass and unpersisted as the backward pass consumes
+    them; lineage cut per level.
+
+    ``sources``: one column named ``node``.  Output contains every
+    node with positive accumulated dependency (plus reached nodes with
+    delta 0); betweenness is the RAW sampled dependency sum — callers
+    normalize by |sources| or scale to |V| as their estimator needs."""
+    from .ccomp import _checkpointer
+    from .lsh import _CacheHandle
+
+    e = edges.select(
+        F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
+    ).filter(F.col("_es") != F.col("_ed")).persist()
+    frontier = (
+        sources.select("node")
+        .distinct()
+        .select(
+            F.col("node").alias("root"),
+            "node",
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .persist()
+    )
+    visited = frontier.select("root", "node").persist()
+    levels = [frontier]
+    for _depth in range(1, max_hops + 1):
+        prev = levels[-1]
+        nxt = (
+            prev.join(e, prev["node"] == e["_es"])
+            .select("root", F.col("_ed").alias("node"), "sigma")
+            .join(visited, ["root", "node"], "anti")
+            .groupBy("root", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = _checkpointer(nxt, checkpoint).persist()
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        old = visited
+        visited = old.unionByName(nxt.select("root", "node")).persist()
+        visited.count()
+        old.unpersist()
+        levels.append(nxt)
+    # backward: delta at the deepest level is 0; fold upward
+    sorted_sum = (
+        "aggregate(array_sort(collect_list(struct({key}, _term))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x._term)"
+    )
+    delta_next = None  # (root, node, delta) at level d+1
+    delta_frames = []
+    for d in range(len(levels) - 2, 0, -1):
+        cur, nxt_lvl = levels[d], levels[d + 1]
+        succ = nxt_lvl.select(
+            "root",
+            F.col("node").alias("_w"),
+            F.col("sigma").alias("_ws"),
+        )
+        if delta_next is not None:
+            succ = succ.join(
+                delta_next.select(
+                    "root", F.col("node").alias("_w"),
+                    F.col("delta").alias("_wd"),
+                ),
+                ["root", "_w"],
+                "left",
+            ).select(
+                "root", "_w", "_ws",
+                F.coalesce("_wd", F.lit(0.0)).alias("_wd"),
+            )
+        else:
+            succ = succ.select(
+                "root", "_w", "_ws", F.lit(0.0).alias("_wd")
+            )
+        # rename BEFORE joining: cur and succ share lineage (both derive
+        # from the BFS frames), so column-object equality on `root`
+        # resolves to the same attribute id and Spark folds it to a
+        # trivially-true predicate — i.e. a cross join across roots
+        succ_r = succ.select(
+            F.col("root").alias("_sroot"), "_w", "_ws", "_wd"
+        )
+        contrib = (
+            cur.select(
+                F.col("root").alias("_croot"),
+                F.col("node").alias("_cnode"),
+                F.col("sigma").alias("_csigma"),
+            )
+            .join(e, F.col("_cnode") == e["_es"])
+            .join(
+                succ_r,
+                (F.col("_croot") == F.col("_sroot"))
+                & (F.col("_ed") == F.col("_w")),
+            )
+            .select(
+                F.col("_croot").alias("root"),
+                F.col("_cnode").alias("node"),
+                F.col("_w").alias("_k"),
+                (
+                    (F.col("_csigma").cast("double")
+                     / F.col("_ws").cast("double"))
+                    * (F.lit(1.0) + F.col("_wd"))
+                ).alias("_term"),
+            )
+        )
+        folded = contrib.groupBy("root", "node").agg(
+            F.expr(sorted_sum.format(key="_k")).alias("delta")
+        )
+        # nodes at this level with no successors keep delta 0
+        delta_cur = (
+            cur.select("root", "node")
+            .join(folded, ["root", "node"], "left")
+            .select(
+                "root", "node",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        )
+        delta_cur = _checkpointer(delta_cur, checkpoint).persist()
+        delta_cur.count()
+        if delta_next is not None:
+            delta_frames.append(delta_next)
+        delta_next = delta_cur
+        nxt_lvl.unpersist()
+    if delta_next is not None:
+        delta_frames.append(delta_next)
+    if not delta_frames:
+        out = frontier.sparkSession.createDataFrame(
+            [], "node string, betweenness double"
+        )
+        out.betweenness_cache = _CacheHandle(e, visited, *levels)
+        return out
+    all_delta = delta_frames[0]
+    for f in delta_frames[1:]:
+        all_delta = all_delta.unionByName(f)
+    bc = all_delta.select(
+        F.col("root").alias("_k"), "node", F.col("delta").alias("_term")
+    ).groupBy("node").agg(
+        F.expr(sorted_sum.format(key="_k")).alias("betweenness")
+    )
+    out = bc
+    out.betweenness_cache = _CacheHandle(
+        e, visited, *levels, *delta_frames
+    )
+    return out

@@ -470,3 +470,134 @@ def test_jaccard_linkpred_excludes_edges_and_matches_duckdb(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+# --- sampled betweenness ----------------------------------------------
+
+
+def _py_brandes(edges, sources, max_hops=8):
+    """Pure-Python Brandes restricted to `sources`, replicating the
+    operator's DETERMINISTIC accumulation orders: successor sums fold
+    in ascending successor-node order; the cross-source sum folds in
+    ascending root order.  With identical fold orders the IEEE double
+    results are bit-identical to Spark's."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        if u != v:
+            adj[u].append(v)
+    # forward pass for every source first: the operator's backward pass
+    # walks GLOBAL level frames, so a root's own deepest level gets an
+    # explicit delta-0 row whenever another root reaches deeper —
+    # replicate that cutoff (global_L - 1) exactly
+    per_source = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        levels = [[s]]
+        d = 0
+        while frontier and d < max_hops:
+            nxt = defaultdict(int)
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        nxt[v] += sigma[u]
+            if not nxt:
+                break
+            d += 1
+            for v, sg in nxt.items():
+                dist[v] = d
+                sigma[v] = sg
+            frontier = sorted(nxt)
+            levels.append(frontier)
+        per_source[s] = (sigma, levels)
+    global_l = max(len(lv) - 1 for _, lv in per_source.values())
+    bc_terms = defaultdict(list)  # node -> [(root, delta)]
+    for s in sources:
+        sigma, levels = per_source[s]
+        delta = {}
+        for li in range(len(levels) - 2, 0, -1):
+            nxt_set = set(levels[li + 1])
+            for v in levels[li]:
+                acc = 0.0
+                succs = sorted(
+                    w for w in adj[v] if w in nxt_set
+                )
+                for w in succs:
+                    acc = acc + (sigma[v] / sigma[w]) * (
+                        1.0 + delta.get(w, 0.0)
+                    )
+                delta[v] = acc
+        if 1 <= len(levels) - 1 <= global_l - 1:
+            # own deepest level: delta 0 rows exist in the operator's
+            # global frame walk when some other root reaches deeper
+            for v in levels[-1]:
+                delta.setdefault(v, 0.0)
+        for v, dl in delta.items():
+            bc_terms[v].append((s, dl))
+    out = {}
+    for v, terms in bc_terms.items():
+        acc = 0.0
+        for _r, dl in sorted(terms):
+            acc = acc + dl
+        out[v] = acc
+    return out
+
+
+def test_betweenness_path_graph(spark):
+    # path 0->1->2->3 from source 0: delta(2)=1 (pred of 3),
+    # delta(1)=1*(1+1)=2; bc: {1: 2.0, 2: 1.0} (3 is deepest, excluded)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    from cli_p_spark.operators.graph import betweenness_sampled
+
+    out = betweenness_sampled(edges, seeds, max_hops=6)
+    got = {r["node"]: r["betweenness"] for r in out.collect()}
+    out.betweenness_cache.unpersist()
+    # levels [0],[1],[2],[3]: delta frames cover levels 1..L-1 — the
+    # root (delta never counted) and the deepest level (delta 0) are
+    # absent by construction
+    assert got == {1: 2.0, 2: 1.0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    # diamond 0->{1,2}->3->4: sigma(3)=2; delta(1)=delta(2)=
+    # (1/2)*(1+delta(3)); delta(3)=1*(1+delta(4))=1, delta(4)=0...
+    # levels: [0],[1,2],[3],[4]; delta(3)=(1/1)*(1+0)=1 wait sigma(4)=2
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    from cli_p_spark.operators.graph import betweenness_sampled
+
+    out = betweenness_sampled(edges, seeds, max_hops=6)
+    got = {r["node"]: r["betweenness"] for r in out.collect()}
+    out.betweenness_cache.unpersist()
+    # delta(3) = (2/2)*(1+0) = 1 (4 is deepest, delta 0)
+    # delta(1) = (1/2)*(1+1) = 1.0 ; delta(2) = 1.0 ; delta(0) not counted
+    assert got[3] == 1.0 and got[1] == 1.0 and got[2] == 1.0
+
+
+def test_betweenness_matches_python_replication(spark):
+    import random
+
+    rng = random.Random(23)
+    e = list({(rng.randrange(40), rng.randrange(40)) for _ in range(160)})
+    e = [(a, b) for a, b in e if a != b]
+    sources = [0, 1, 2, 3, 4]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(s,) for s in sources], "node bigint")
+    from cli_p_spark.operators.graph import betweenness_sampled
+
+    out = betweenness_sampled(edges, seeds, max_hops=8)
+    got = {r["node"]: r["betweenness"] for r in out.collect()}
+    out.betweenness_cache.unpersist()
+    want = _py_brandes(e, sources, max_hops=8)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == want[n], (n, got[n], want[n])
