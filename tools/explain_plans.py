@@ -47,6 +47,11 @@ def main():
         "part_name_fuzzy_pairs",
         "doc_setsim_pairs",
         "doc_semantic_dedup",
+        "events_funnel",
+        "events_retention",
+        "docs_weighted_sample",
+        "knn_rrf_fusion",
+        "doc_pmi_collocations",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
@@ -80,6 +85,15 @@ def main():
         edges.select(F.col("src").alias("node")).distinct()
         .orderBy("node").limit(3)
     )
+    from cli_p_spark.operators.graph import (
+        closeness_centrality,
+        jaccard_link_prediction,
+    )
+
+    seeds4 = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .orderBy("node").limit(4)
+    )
     graph_ops = [
         ("kg_pagerank (operator plan)", pagerank_fixed_point(edges)),
         ("kg_khop_reach (operator plan)",
@@ -87,11 +101,15 @@ def main():
         ("kg_triangles (operator plan)", triangle_count(edges)),
         ("kg_communities (operator plan)",
          label_propagation(edges, iterations=4)),
+        ("kg_closeness (operator plan)",
+         closeness_centrality(edges, seeds4, max_hops=6)),
+        ("kg_link_prediction (operator plan)",
+         jaccard_link_prediction(edges, min_common=2)),
     ]
     for name, df in graph_ops:
         out.append(f"\n## {name}\n\n```\n{fmt(df)}\n```\n")
         for attr in ("pagerank_cache", "khop_cache", "triangle_cache",
-                     "lpa_cache"):
+                     "lpa_cache", "closeness_cache", "linkpred_cache"):
             c = getattr(df, attr, None)
             if c is not None:
                 c.unpersist()
