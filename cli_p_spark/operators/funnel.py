@@ -48,25 +48,17 @@ def _micros(ts_col: str) -> F.Column:
     )
 
 
-def funnel_counts(
+def _select_step_events(
     events: DataFrame,
     steps: list[str],
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-    window_us: int | None = None,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
 ) -> DataFrame:
-    """(step_idx, step_name, n_users) — users reaching each funnel step
-    under strict chained-min semantics (module docstring).  One shuffle:
-    groupBy(user) + sorted-array `aggregate` HOF; steps with zero users
-    are kept (count 0) via a step spine."""
-    k = len(steps)
-    if k == 0:
-        raise ValueError("steps must be non-empty")
-    spark = events.sparkSession
-
+    """(_u, _t, _s): funnel-relevant events as integer micros + 0-based
+    step index."""
     step_arr = F.array(*[F.lit(s) for s in steps])
-    filtered = events.filter(F.col(type_col).isin(steps)).select(
+    return events.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col).alias("_u"),
         _micros(ts_col).alias("_t"),
         # 0-based step index via array_position (1-based, hence -1)
@@ -74,29 +66,41 @@ def funnel_counts(
         .cast("int")
         .alias("_s"),
     )
+
+
+def _fold_sql(events_arr: str, init: str, window_us: int | None) -> str:
+    """The chained-min recurrence as an `aggregate` HOF over a
+    time-sorted array of (_t, _s) structs, starting from ``init`` (an
+    acc expression — array<bigint> of length k, NULL = step unreached).
+    `size(filter(acc, a -> a IS NOT NULL))` = steps reached so far (acc
+    fills strictly left to right).  greatest(x._s, 1) keeps
+    element_at's index valid when x._s = 0 (the branch is then decided
+    by `x._s = 0 OR ...` — the element_at value is unused but must not
+    raise)."""
     win = (
         f" AND x._t - element_at(acc, greatest(x._s, 1)) <= {window_us}L"
         if window_us is not None
         else ""
     )
-    # chained-min recurrence as a linear scan over the time-sorted array;
-    # `size(filter(acc, a -> a IS NOT NULL))` = steps reached so far
-    # (acc fills strictly left to right).  greatest(x._s, 1) keeps
-    # element_at's index valid when x._s = 0 (the branch is then decided
-    # by `x._s = 0 OR ...` — the element_at value is unused but must not
-    # raise).
-    acc_expr = f"""aggregate(
-      array_sort(collect_list(struct(_t, _s))),
-      array_repeat(CAST(NULL AS BIGINT), {k}),
+    return f"""aggregate(
+      {events_arr},
+      {init},
       (acc, x) -> IF(
         x._s = size(filter(acc, a -> a IS NOT NULL))
         AND (x._s = 0
              OR (x._t > element_at(acc, greatest(x._s, 1)){win})),
         transform(acc, (a, i) -> IF(i = x._s, x._t, a)),
         acc))"""
-    per_user = filtered.groupBy("_u").agg(F.expr(acc_expr).alias("_acc"))
+
+
+def state_to_counts(state: DataFrame, steps: list[str]) -> DataFrame:
+    """(step_idx, step_name, n_users) from per-user funnel state
+    (_u, _acc); zero-user steps kept via the step spine."""
+    k = len(steps)
+    spark = state.sparkSession
+    step_arr = F.array(*[F.lit(s) for s in steps])
     reached = (
-        per_user.select(F.posexplode("_acc").alias("step_idx", "_t"))
+        state.select(F.posexplode("_acc").alias("step_idx", "_t"))
         .filter(F.col("_t").isNotNull())
         .groupBy("step_idx")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -116,6 +120,82 @@ def funnel_counts(
         )
         .orderBy("step_idx")
     )
+
+
+def fold_funnel_state(
+    events: DataFrame,
+    state: DataFrame | None,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_us: int | None = None,
+) -> DataFrame:
+    """(_u, _acc) — fold a batch of events into stored per-user funnel
+    state (``state``: (_u, _acc) or None for the first batch).  Because
+    the chained-min recurrence is a LEFT FOLD over the time-ordered
+    event sequence, folding batch-by-batch (time-ordered drops) equals
+    one batch fold over the union — the streamed==batch theorem the
+    streaming wrapper's test asserts.
+
+    Replay idempotence (at-least-once safety): re-applying a batch is a
+    no-op.  Proof sketch: an event x advances the state only at slot
+    x._s = reached with x._t > acc[x._s - 1]; after the first
+    application, either x advanced then (slot now filled, reached >
+    x._s forever — acc entries never change once set), or the slot
+    x._s - 1 was filled by an event y AT OR AFTER x in the sorted scan
+    (y._t >= x._t), so x._t > acc[x._s - 1] = y._t is false on replay.
+    Gated by test_funnel's double-apply test."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    batch = _select_step_events(events, steps, user_col, ts_col, type_col)
+    per_user = batch.groupBy("_u").agg(
+        F.expr("array_sort(collect_list(struct(_t, _s)))").alias("_ev")
+    )
+    if state is None:
+        state = per_user.sparkSession.createDataFrame(
+            [], "_u bigint, _acc array<bigint>"
+        )
+    merged = per_user.join(
+        state.select("_u", F.col("_acc").alias("_old")), "_u", "full_outer"
+    )
+    empty_acc = f"array_repeat(CAST(NULL AS BIGINT), {k})"
+    fold = _fold_sql("_ev", f"coalesce(_old, {empty_acc})", window_us)
+    return merged.select(
+        "_u",
+        F.expr(
+            f"CASE WHEN _ev IS NULL THEN coalesce(_old, {empty_acc}) "
+            f"ELSE {fold} END"
+        ).alias("_acc"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    window_us: int | None = None,
+) -> DataFrame:
+    """(step_idx, step_name, n_users) — users reaching each funnel step
+    under strict chained-min semantics (module docstring).  One shuffle:
+    groupBy(user) + sorted-array `aggregate` HOF; steps with zero users
+    are kept (count 0) via a step spine."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    filtered = _select_step_events(
+        events, steps, user_col, ts_col, type_col
+    )
+    acc_expr = _fold_sql(
+        "array_sort(collect_list(struct(_t, _s)))",
+        f"array_repeat(CAST(NULL AS BIGINT), {k})",
+        window_us,
+    )
+    per_user = filtered.groupBy("_u").agg(F.expr(acc_expr).alias("_acc"))
+    return state_to_counts(per_user, steps)
 
 
 def funnel_counts_chained(

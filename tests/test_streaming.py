@@ -229,3 +229,72 @@ def test_incremental_dedup_stream_equals_batch(spark, tmp_path):
     # index holds every doc exactly once
     n_sigs = spark.read.parquet(f"{index_dir}/sigs").count()
     assert n_sigs == len(rows)
+
+
+def test_incremental_funnel_stream_equals_batch(spark, tmp_path):
+    """Stream time-ordered event drops through the versioned funnel
+    state; counts from the final state must equal the batch funnel over
+    the union of all drops."""
+    import datetime as dt
+
+    from cli_p_spark.operators.funnel import (
+        funnel_counts,
+        state_to_counts,
+    )
+    from cli_p_spark.streaming.funnel import (
+        _latest_state,
+        incremental_funnel_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    steps = ["view", "click", "purchase"]
+    rows = []
+    import random
+
+    rnd = random.Random(13)
+    for i in range(240):
+        rows.append(
+            (
+                rnd.randrange(20),
+                base + dt.timedelta(seconds=i * 30),
+                rnd.choice(steps + ["noise"]),
+            )
+        )
+    # three TIME-ORDERED drops (the incremental fold's precondition)
+    in_dir = str(tmp_path / "in")
+    for k in range(3):
+        chunk = rows[k * 80: (k + 1) * 80]
+        spark.createDataFrame(
+            chunk, "user_id bigint, ts timestamp_ntz, event_type string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp_ntz, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    state_dir = str(tmp_path / "state")
+    q = incremental_funnel_stream(
+        stream, state_dir, str(tmp_path / "ckpt"), steps,
+        window_us=3600 * 1_000_000,
+    )
+    q.awaitTermination(180)
+
+    final = _latest_state(spark, state_dir, 1 << 30)
+    assert final is not None
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in state_to_counts(final, steps).collect()
+    }
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp_ntz, event_type string"
+    )
+    want = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(
+            ev, steps, window_us=3600 * 1_000_000
+        ).collect()
+    }
+    assert got == want and want[0] > 0
