@@ -190,19 +190,24 @@ def pagerank_sql(
     ``seeds_sql`` (selects `node`), the personalized variant: teleport
     flag t restricts both the start vector and the base term."""
     base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
+    # AS MATERIALIZED: e/nodes are referenced once per unrolled level
+    # and DuckDB inlines plain CTEs per reference (re-scanning the
+    # relation each time); the i{k} chain is linear either way but
+    # materializing keeps each level computed exactly once.
     parts = [
-        f"e AS (SELECT src, dst FROM {edges_rel})",
-        "outdeg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"e AS MATERIALIZED (SELECT src, dst FROM {edges_rel})",
+        "outdeg AS MATERIALIZED "
+        "(SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
     ]
     if seeds_sql is None:
         parts.append(
-            "nodes AS (SELECT node, 1 AS t FROM "
+            "nodes AS MATERIALIZED (SELECT node, 1 AS t FROM "
             "(SELECT src AS node FROM e UNION SELECT dst FROM e))"
         )
     else:
         parts.append(f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql}))")
         parts.append(
-            "nodes AS (SELECT n.node, "
+            "nodes AS MATERIALIZED (SELECT n.node, "
             "CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS t FROM "
             "(SELECT src AS node FROM e UNION SELECT dst FROM e) n "
             "LEFT JOIN seeds s ON s.node = n.node)"
@@ -211,7 +216,7 @@ def pagerank_sql(
         f"i0 AS (SELECT node, CAST({unit} * t AS BIGINT) AS r FROM nodes)"
     )
     for k in range(1, iterations + 1):
-        parts.append(f"""i{k} AS (
+        parts.append(f"""i{k} AS MATERIALIZED (
   SELECT n.node,
          CAST({base} * n.t + ({damping_ppm} * COALESCE(SUM(c.contrib), 0))
                        // 1000000 AS BIGINT) AS r
@@ -306,15 +311,18 @@ def khop_sql(edges_rel: str, seeds_sql: str, k: int) -> str:
     three-valued logic empties every later frontier if a single NULL
     dst slips into the edge relation, diverging from Spark's null-safe
     anti join) — integer/string outputs, no floats, bit-exact across
-    engines."""
+    engines.  Levels are ``AS MATERIALIZED``: each v{{i}} is referenced
+    by every later level's NOT EXISTS union, and DuckDB inlines plain
+    CTEs per reference — exponential recomputation in depth."""
     parts = [
-        f"e AS (SELECT src, dst FROM {edges_rel})",
-        f"v0 AS (SELECT DISTINCT node, 0 AS hops FROM ({seeds_sql}))",
+        f"e AS MATERIALIZED (SELECT src, dst FROM {edges_rel})",
+        "v0 AS MATERIALIZED "
+        f"(SELECT DISTINCT node, 0 AS hops FROM ({seeds_sql}))",
     ]
     for i in range(1, k + 1):
         prev_vs = " UNION ALL ".join(f"SELECT node FROM v{j}" for j in range(i))
         parts.append(
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
   SELECT DISTINCT e.dst AS node, {i} AS hops
   FROM v{i - 1} f JOIN e ON e.src = f.node
   WHERE NOT EXISTS (SELECT 1 FROM ({prev_vs}) p WHERE p.node = e.dst))"""
@@ -481,22 +489,25 @@ def label_propagation(
 def lpa_sql(edges_rel: str, iterations: int = 4) -> str:
     """DuckDB twin of label_propagation — the synchronous rounds
     unrolled as chained CTEs (count -> max -> min-label), same
-    tie-break, integer/string outputs only."""
+    tie-break, integer/string outputs only.  ``AS MATERIALIZED``: each
+    c{{i}} is referenced twice (m{{i}} and l{{i}}), so plain-CTE
+    inlining doubles the work per round — 2^iterations overall."""
     parts = [
-        f"""sym AS (
+        f"""sym AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     SELECT src AS a, dst AS b FROM {edges_rel} WHERE src <> dst
     UNION ALL
     SELECT dst, src FROM {edges_rel} WHERE src <> dst))""",
-        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label"
+        " FROM sym)",
     ]
     for i in range(1, iterations + 1):
-        parts.append(f"""c{i} AS (
+        parts.append(f"""c{i} AS MATERIALIZED (
   SELECT s.a AS n, l.label, COUNT(*) AS c
   FROM sym s JOIN l{i - 1} l ON l.node = s.b
   GROUP BY s.a, l.label),
-m{i} AS (SELECT n, MAX(c) AS mx FROM c{i} GROUP BY n),
-l{i} AS (
+m{i} AS MATERIALIZED (SELECT n, MAX(c) AS mx FROM c{i} GROUP BY n),
+l{i} AS MATERIALIZED (
   SELECT c.n AS node, MIN(c.label) AS label
   FROM c{i} c JOIN m{i} m ON m.n = c.n AND c.c = m.mx
   GROUP BY c.n)""")
@@ -504,6 +515,54 @@ l{i} AS (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, label FROM l{iterations}"
     )
+
+
+def _multi_source_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src_col: str,
+    dst_col: str,
+    checkpoint: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared level-synchronous multi-source BFS: returns (visited, e)
+    where visited = (root, node, dist) for every node within
+    ``max_hops`` directed hops of each source (dist = BFS level, root
+    itself at 0) and e is the persisted projected edge frame.  Both
+    frames are PERSISTED — the caller owns unpersisting them (the
+    centrality operators hand them to their `_CacheHandle`).  Work per
+    level is |frontier⋈edges|, frontiers are checkpointed — the
+    khop/closeness plan discipline, factored out so every sampled-source
+    centrality (closeness, harmonic) runs the identical traversal."""
+    from .ccomp import _checkpointer
+
+    e = edges.select(
+        F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
+    ).persist()
+    frontier = sources.select("node").distinct().select(
+        F.col("node").alias("root"), F.col("node")
+    )
+    visited = frontier.select(
+        "root", "node", F.lit(0).alias("dist")
+    ).persist()
+    for depth in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_es"])
+            .select("root", F.col("_ed").alias("node"))
+            .distinct()
+            .join(visited.select("root", "node"), ["root", "node"], "anti")
+        )
+        nxt = _checkpointer(nxt, checkpoint)
+        if nxt.isEmpty():
+            break
+        old = visited
+        visited = old.unionByName(
+            nxt.select("root", "node", F.lit(depth).alias("dist"))
+        ).persist()
+        visited.count()  # materialize before dropping the parent cache
+        old.unpersist()
+        frontier = nxt
+    return visited, e
 
 
 def closeness_centrality(
@@ -532,35 +591,11 @@ def closeness_centrality(
     are checkpointed every level (ccomp's checkpointer discipline).
 
     ``sources``: one column named ``node``."""
-    from .ccomp import _checkpointer
     from .lsh import _CacheHandle
 
-    e = edges.select(
-        F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
-    ).persist()
-    frontier = sources.select("node").distinct().select(
-        F.col("node").alias("root"), F.col("node")
+    visited, e = _multi_source_bfs(
+        edges, sources, max_hops, src_col, dst_col, checkpoint
     )
-    visited = frontier.select(
-        "root", "node", F.lit(0).alias("dist")
-    ).persist()
-    for depth in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier["node"] == e["_es"])
-            .select("root", F.col("_ed").alias("node"))
-            .distinct()
-            .join(visited.select("root", "node"), ["root", "node"], "anti")
-        )
-        nxt = _checkpointer(nxt, checkpoint)
-        if nxt.isEmpty():
-            break
-        old = visited
-        visited = old.unionByName(
-            nxt.select("root", "node", F.lit(depth).alias("dist"))
-        ).persist()
-        visited.count()
-        old.unpersist()
-        frontier = nxt
     reached = visited.filter(F.col("dist") > 0)
     agg = (
         visited.select("root").distinct()
@@ -594,18 +629,19 @@ def closeness_centrality(
 def closeness_sql(edges_rel: str, seeds_sql: str, max_hops: int = 6) -> str:
     """DuckDB twin of closeness_centrality: per-level CTEs carrying the
     root (khop_sql's NOT EXISTS discipline, keyed on (root, node));
-    same integer distances, same single division."""
+    same integer distances, same single division.  Levels are
+    ``AS MATERIALIZED`` (khop_sql's inlining rationale)."""
     parts = [
-        f"e AS (SELECT src, dst FROM {edges_rel})",
-        f"v0 AS (SELECT DISTINCT node AS root, node, 0 AS dist"
-        f" FROM ({seeds_sql}))",
+        f"e AS MATERIALIZED (SELECT src, dst FROM {edges_rel})",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT node AS root, node,"
+        f" 0 AS dist FROM ({seeds_sql}))",
     ]
     for i in range(1, max_hops + 1):
         prev = " UNION ALL ".join(
             f"SELECT root, node FROM v{j}" for j in range(i)
         )
         parts.append(
-            f"""v{i} AS (
+            f"""v{i} AS MATERIALIZED (
   SELECT DISTINCT f.root, e.dst AS node, {i} AS dist
   FROM v{i - 1} f JOIN e ON e.src = f.node
   WHERE NOT EXISTS (SELECT 1 FROM ({prev}) p
@@ -626,6 +662,105 @@ SELECT root, CAST(n_reached AS BIGINT) AS n_reached,
        CASE WHEN total_dist > 0
             THEN CAST(n_reached AS DOUBLE) / CAST(total_dist AS DOUBLE)
             ELSE 0.0 END AS closeness
+FROM agg"""
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(root, n_reached, harmonic_fp, harmonic) — harmonic centrality
+    of each source over the directed graph: sum over reached nodes v of
+    1/dist(v) (Boldi-Vigna's preferred centrality for disconnected
+    graphs — unreachable nodes contribute 0 instead of poisoning the
+    mean, so no reachable-set normalization debate).  Multi-source BFS
+    identical to closeness (same sampled-sources scale shape: the
+    Eppstein-Wang estimator rides the frontier key).
+
+    Exactness: float 1/d sums are order-sensitive, so the sum is
+    computed as an EXACT INTEGER first — with L = lcm(1..max_hops),
+    every term 1/d == (L div d)/L with L div d exact, so
+    harmonic_fp = sum(L div dist) is an associative integer sum and
+    harmonic = harmonic_fp / L is ONE IEEE division — bit-identical
+    cross-engine by construction (the closeness/PageRank fixed-point
+    discipline applied to reciprocal distances).
+
+    ``sources``: one column named ``node``."""
+    import math
+
+    from .lsh import _CacheHandle
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    visited, e = _multi_source_bfs(
+        edges, sources, max_hops, src_col, dst_col, checkpoint
+    )
+    reached = visited.filter(F.col("dist") > 0)
+    out = (
+        visited.select("root").distinct()
+        .join(
+            reached.groupBy("root").agg(
+                F.count(F.lit(1)).alias("n_reached"),
+                F.sum(F.expr(f"{lcm} div dist")).alias("harmonic_fp"),
+            ),
+            "root",
+            "left",
+        )
+        .select(
+            "root",
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+            F.coalesce("harmonic_fp", F.lit(0)).cast("long")
+            .alias("harmonic_fp"),
+        )
+        .withColumn(
+            "harmonic",
+            F.col("harmonic_fp").cast("double") / F.lit(float(lcm)),
+        )
+    )
+    out.harmonic_cache = _CacheHandle(e, visited)
+    return out
+
+
+def harmonic_sql(edges_rel: str, seeds_sql: str, max_hops: int = 6) -> str:
+    """DuckDB twin of harmonic_centrality: the closeness_sql BFS CTEs
+    (``AS MATERIALIZED``, khop_sql's inlining rationale), then the
+    same lcm fixed-point sum + single division."""
+    import math
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst FROM {edges_rel})",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT node AS root, node,"
+        f" 0 AS dist FROM ({seeds_sql}))",
+    ]
+    for i in range(1, max_hops + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT root, node FROM v{j}" for j in range(i)
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT DISTINCT f.root, e.dst AS node, {i} AS dist
+  FROM v{i - 1} f JOIN e ON e.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM ({prev}) p
+                    WHERE p.root = f.root AND p.node = e.dst))"""
+        )
+    allv = " UNION ALL ".join(
+        f"SELECT root, node, dist FROM v{i}" for i in range(max_hops + 1)
+    )
+    return f"""WITH {",".join(parts)},
+av AS ({allv}),
+agg AS (
+  SELECT root,
+         COUNT(*) FILTER (WHERE dist > 0) AS n_reached,
+         COALESCE(SUM({lcm} // dist) FILTER (WHERE dist > 0), 0)
+           AS harmonic_fp
+  FROM av GROUP BY root)
+SELECT root, CAST(n_reached AS BIGINT) AS n_reached,
+       CAST(harmonic_fp AS BIGINT) AS harmonic_fp,
+       CAST(harmonic_fp AS DOUBLE) / CAST({lcm} AS DOUBLE) AS harmonic
 FROM agg"""
 
 
@@ -754,10 +889,14 @@ def betweenness_sampled(
     the forward pass and unpersisted as the backward pass consumes
     them; lineage cut per level.
 
-    ``sources``: one column named ``node``.  Output contains every
-    node with positive accumulated dependency (plus reached nodes with
-    delta 0); betweenness is the RAW sampled dependency sum — callers
-    normalize by |sources| or scale to |V| as their estimator needs."""
+    ``sources``: one column named ``node``.  Output contains EVERY
+    node reached at level >= 1 from any source (nodes on no shortest
+    path appear with 0.0 — including the deepest level, whose delta is
+    identically 0); betweenness is the RAW sampled dependency sum —
+    callers normalize by |sources| or scale to |V| as their estimator
+    needs.  ``betweenness_sql`` is the engine-portable twin: DuckDB's
+    list_reduce over lists ordered by the same keys replays the exact
+    fold orders, so the doubles hash-match."""
     from .ccomp import _checkpointer
     from .lsh import _CacheHandle
 
@@ -871,9 +1010,20 @@ def betweenness_sampled(
         if delta_next is not None:
             delta_frames.append(delta_next)
         delta_next = delta_cur
-        nxt_lvl.unpersist()
+        if d + 1 < len(levels) - 1:
+            # the deepest level stays persisted: its (root, node) rows
+            # are re-read for the explicit delta-0 frame below; the
+            # returned cache handle unpersists it with the rest
+            nxt_lvl.unpersist()
     if delta_next is not None:
         delta_frames.append(delta_next)
+    if len(levels) > 1:
+        # the deepest reached level has no successors: its delta is
+        # identically 0, but the rows belong in the output (and in the
+        # SQL twin, which cannot know the deepest level statically)
+        delta_frames.append(
+            levels[-1].select("root", "node", F.lit(0.0).alias("delta"))
+        )
     if not delta_frames:
         out = frontier.sparkSession.createDataFrame(
             [], "node string, betweenness double"
@@ -893,3 +1043,273 @@ def betweenness_sampled(
         e, visited, *levels, *delta_frames
     )
     return out
+
+
+def betweenness_sql(edges_rel: str, seeds_sql: str, max_hops: int = 8) -> str:
+    """DuckDB twin of betweenness_sampled: the sigma-carrying BFS as
+    per-level CTEs (closeness_sql's NOT EXISTS discipline plus an
+    integer SUM(sigma) per level), then the Brandes backward pass
+    unrolled deepest-first — every float accumulation replayed as
+    list_reduce over a list ordered by the SAME key the Spark fold
+    sorts on (successor node for the per-level delta, root for the
+    final sum), so the IEEE doubles come out bit-identical (DuckDB's
+    first-element fold seed equals Spark's 0.0+x for positive terms).
+    Levels the BFS never reaches produce empty CTEs that contribute
+    nothing — the unrolled depth is ``max_hops`` regardless.
+
+    Every per-level CTE is ``AS MATERIALIZED``: DuckDB inlines plain
+    CTEs at each reference, and v{i}/d{i}/s{i} are each referenced by
+    several later levels — inlining makes the unrolled plan
+    exponential in depth (measured: 13 min vs seconds at sf0.01,
+    h=6).  Materialization computes each level once; results are
+    byte-identical."""
+    h = max_hops
+    parts = [
+        f"e AS MATERIALIZED (SELECT src, dst FROM {edges_rel}"
+        " WHERE src <> dst)",
+        "v0 AS MATERIALIZED (SELECT DISTINCT node AS root, node, "
+        f"CAST(1 AS BIGINT) AS sigma FROM ({seeds_sql}))",
+    ]
+    for i in range(1, h + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT root, node FROM v{j}" for j in range(i)
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+  SELECT f.root, e.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+  FROM v{i - 1} f JOIN e ON e.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM ({prev}) p
+                    WHERE p.root = f.root AND p.node = e.dst)
+  GROUP BY f.root, e.dst)"""
+        )
+    # backward pass: d{h} = deepest unrolled level at delta 0; then
+    # d{i} folds successor terms from (v{i+1} ⋈ d{i+1})
+    parts.append(
+        f"d{h} AS MATERIALIZED (SELECT root, node,"
+        f" CAST(0.0 AS DOUBLE) AS delta FROM v{h})"
+    )
+    for i in range(h - 1, 0, -1):
+        parts.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT v.root, v.node, v.sigma, d.delta
+  FROM v{i + 1} v JOIN d{i + 1} d ON d.root = v.root AND d.node = v.node)""")
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT v.root, v.node, COALESCE(f.delta, CAST(0.0 AS DOUBLE)) AS delta
+  FROM v{i} v LEFT JOIN (
+    SELECT t.root, t.node,
+           list_reduce(list(t.term ORDER BY t.w), (a, b) -> a + b) AS delta
+    FROM (
+      SELECT c.root AS root, c.node AS node, s.node AS w,
+             CAST(c.sigma AS DOUBLE) / CAST(s.sigma AS DOUBLE)
+               * (CAST(1.0 AS DOUBLE) + s.delta) AS term
+      FROM v{i} c
+      JOIN e ON e.src = c.node
+      JOIN s{i + 1} s ON s.root = c.root AND s.node = e.dst
+    ) t GROUP BY t.root, t.node
+  ) f ON f.root = v.root AND f.node = v.node)""")
+    alld = " UNION ALL ".join(
+        f"SELECT root, node, delta FROM d{i}" for i in range(1, h + 1)
+    )
+    return f"""WITH {",".join(parts)},
+alld AS ({alld})
+SELECT node,
+       list_reduce(list(delta ORDER BY root), (a, b) -> a + b)
+         AS betweenness
+FROM alld GROUP BY node"""
+
+
+def scc_labels(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 40,
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(node, scc) — strongly connected components of the DIRECTED
+    graph, scc = minimum member id of each component: the cycle
+    structure of the entity graph (weak components — kg_components —
+    say "one blob"; SCCs say which parts of that blob are mutually
+    reachable, i.e. where directed KG traversal can loop).
+
+    Algorithm: trim + forward-min-label coloring (Orzan 2004; the
+    FW-BW-Trim family of Slota et al.), fully deterministic:
+
+      per round:
+      1. TRIM to fixpoint — nodes missing an in- or out-edge in the
+         remaining subgraph are singleton SCCs (scc = node).  A
+         DAG-like graph (a KG mostly is one) dissolves here in
+         O(longest path) cheap passes.
+      2. COLOR — forward min-label propagation to fixpoint:
+         color(v) = min(v, min over in-neighbors u of color(u)).
+         A color root (color(v) == v) is the minimum node that reaches
+         its whole color class.
+      3. BACKWARD — BFS along reversed edges from each root, restricted
+         to the root's color class: exactly SCC(root) (every node of
+         SCC(root) has the root's color, and every color-class node
+         that reaches the root is mutually reachable with it; the
+         restriction is closed — intermediates on a v->root path share
+         the color).  Members get scc = root; remove them and repeat.
+
+    All comparisons are integer/string min/equality — no floats — so
+    the labeling is bit-exact on any engine; ``scc_sql`` replays it as
+    a transitive-closure twin.  Scale shape: every step is a
+    frontier-sized join (the khop discipline), state is one row per
+    live node, lineage cut per step; rounds needed = O(#color rounds),
+    small for real KG topologies once trim has eaten the DAG part.
+    Raises after ``max_rounds`` rather than returning a partial answer.
+    """
+    from .ccomp import _checkpointer
+    from .lsh import _CacheHandle
+
+    all_nodes = graph_nodes(edges, src_col, dst_col)
+    cur_edges = (
+        edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .persist()
+    )
+    cur_nodes = all_nodes.persist()
+    done: list[DataFrame] = []
+    caches: list[DataFrame] = [cur_edges, cur_nodes]
+
+    def _shrink(nodes, edges_, removed):
+        """anti-join `removed` out of the live node/edge frames."""
+        n2 = _checkpointer(
+            nodes.join(removed.select("node"), "node", "anti"), checkpoint
+        ).persist()
+        n2.count()
+        e2 = _checkpointer(
+            edges_.join(
+                n2.select(F.col("node").alias("_s")), "_s", "semi"
+            ).join(n2.select(F.col("node").alias("_d")), "_d", "semi"),
+            checkpoint,
+        ).persist()
+        e2.count()
+        nodes.unpersist()
+        edges_.unpersist()
+        return n2, e2
+
+    for _round in range(max_rounds):
+        # 1. trim to fixpoint
+        while True:
+            srcs = cur_edges.select(F.col("_s").alias("node")).distinct()
+            dsts = cur_edges.select(F.col("_d").alias("node")).distinct()
+            both = srcs.join(dsts, "node", "semi")
+            trimmed = _checkpointer(
+                cur_nodes.join(both, "node", "anti"), checkpoint
+            ).persist()
+            if trimmed.isEmpty():
+                trimmed.unpersist()
+                break
+            done.append(trimmed.select("node", F.col("node").alias("scc")))
+            caches.append(trimmed)
+            cur_nodes, cur_edges = _shrink(cur_nodes, cur_edges, trimmed)
+            caches[0:2] = [cur_edges, cur_nodes]
+        if cur_nodes.isEmpty():
+            break
+        # 2. forward min-label coloring to fixpoint
+        color = cur_nodes.select(
+            "node", F.col("node").alias("color")
+        ).persist()
+        while True:
+            incoming = (
+                cur_edges.join(color, cur_edges["_s"] == color["node"])
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.min("color").alias("_inc"))
+            )
+            new_color = _checkpointer(
+                color.join(incoming, "node", "left").select(
+                    "node",
+                    F.least(
+                        "color", F.coalesce("_inc", "color")
+                    ).alias("color"),
+                ),
+                checkpoint,
+            ).persist()
+            changed = (
+                new_color.join(
+                    color.select(
+                        "node", F.col("color").alias("_old")
+                    ),
+                    "node",
+                )
+                .filter(F.col("color") != F.col("_old"))
+                .count()
+            )
+            color.unpersist()
+            color = new_color
+            if changed == 0:
+                break
+        # 3. backward reach from the color roots within each color class
+        roots = color.filter(F.col("node") == F.col("color")).select(
+            F.col("node").alias("scc"), "node"
+        )
+        members = _checkpointer(roots, checkpoint).persist()
+        frontier = members
+        while True:
+            preds = (
+                frontier.join(
+                    cur_edges, frontier["node"] == cur_edges["_d"]
+                )
+                .select("scc", F.col("_s").alias("node"))
+                .distinct()
+                .join(color, "node")
+                .filter(F.col("color") == F.col("scc"))
+                .select("scc", "node")
+                .join(members, ["scc", "node"], "anti")
+            )
+            preds = _checkpointer(preds, checkpoint).persist()
+            if preds.isEmpty():
+                preds.unpersist()
+                break
+            old = members
+            members = old.unionByName(preds).persist()
+            members.count()
+            old.unpersist()
+            frontier = preds
+        found = _checkpointer(
+            members.select("node", "scc"), checkpoint
+        ).persist()
+        found.count()
+        done.append(found)
+        caches.append(found)
+        members.unpersist()
+        color.unpersist()
+        cur_nodes, cur_edges = _shrink(cur_nodes, cur_edges, found)
+        caches[0:2] = [cur_edges, cur_nodes]
+        if cur_nodes.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"scc_labels: {cur_nodes.count()} nodes unresolved after "
+            f"{max_rounds} rounds"
+        )
+    out = done[0]
+    for f in done[1:]:
+        out = out.unionByName(f)
+    out.scc_cache = _CacheHandle(cur_edges, cur_nodes, *caches)
+    return out
+
+
+def scc_sql(edges_rel: str) -> str:
+    """DuckDB twin of scc_labels: mutual reachability via a recursive
+    transitive closure — scc(v) = min over {v} ∪ {u : v⇄u}.  Closure
+    cost is fine at oracle scale; the Spark operator is the
+    coloring-based scale form."""
+    return f"""
+WITH RECURSIVE
+raw AS (SELECT src, dst FROM {edges_rel}),
+nodes AS (SELECT src AS node FROM raw UNION SELECT dst FROM raw),
+e AS (SELECT src, dst FROM raw WHERE src <> dst),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+lab AS (
+  SELECT n.node, LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc
+  FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+  GROUP BY n.node)
+SELECT node, scc FROM lab
+"""

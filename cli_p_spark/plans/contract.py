@@ -3105,6 +3105,103 @@ def _kg_closeness_sql() -> str:
     )
 
 
+def kg_harmonic(spark, sf_dir):
+    """Harmonic centrality of the 4 lexicographically-smallest subjects
+    over the entity graph (operators/graph.py harmonic_centrality):
+    sum of 1/dist over the reached set, computed as an exact integer
+    (lcm fixed-point: harmonic_fp = sum(L div dist), L = lcm(1..6))
+    plus ONE final IEEE division — bit-exact cross-engine, the
+    disconnected-graph-robust centrality (Boldi-Vigna) a sparse KG
+    actually wants."""
+    from ..operators.graph import harmonic_centrality
+
+    edges = _kg_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(4)
+    )
+    out = harmonic_centrality(edges, seeds, max_hops=6)
+    staged = _stage(out.orderBy("root"), "kg_harmonic_out")
+    out.harmonic_cache.unpersist()
+    return staged
+
+
+def _kg_harmonic_sql() -> str:
+    from ..operators.graph import harmonic_sql
+
+    seeds = (
+        "SELECT src AS node FROM (SELECT DISTINCT src FROM "
+        f"{_staged_sql('kg_graph_edges')} ORDER BY src LIMIT 4)"
+    )
+    return (
+        harmonic_sql(_staged_sql("kg_graph_edges"), seeds, max_hops=6)
+        + "\nORDER BY root"
+    )
+
+
+def kg_scc(spark, sf_dir):
+    """Strongly-connected components of the DIRECTED entity graph
+    (operators/graph.py scc_labels: trim + min-label coloring +
+    backward sweep, all integer/string comparisons — bit-exact): the
+    cycle structure of the KG — kg_components says "one weak blob",
+    this says which parts of it directed traversal can loop through.
+    Full (node, scc-min-member) mapping; the DuckDB twin replays it as
+    a mutual-reachability transitive closure over the same staged
+    relation."""
+    from ..operators.graph import scc_labels
+
+    edges = _kg_edges(spark, sf_dir)
+    out = scc_labels(edges)
+    staged = _stage(out.orderBy("node"), "kg_scc_out")
+    out.scc_cache.unpersist()
+    return staged
+
+
+def _kg_scc_sql() -> str:
+    from ..operators.graph import scc_sql
+
+    return scc_sql(_staged_sql("kg_graph_edges")) + "ORDER BY node"
+
+
+def kg_betweenness(spark, sf_dir):
+    """Sampled-source betweenness centrality over the entity graph
+    (operators/graph.py betweenness_sampled, Brandes dependency
+    accumulation from the 4 lexicographically-smallest subjects): the
+    "broker" entities that sit on inter-entity shortest paths.  Float
+    deltas are deterministic sorted-array folds; the DuckDB twin
+    replays the exact fold orders with list_reduce over ordered lists,
+    so the doubles hash-match (the betweenness_sql device — promoted
+    from round-5's pytest-only gate to a full driver entry)."""
+    from ..operators.graph import betweenness_sampled
+
+    edges = _kg_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(4)
+    )
+    out = betweenness_sampled(edges, seeds, max_hops=6)
+    staged = _stage(out.orderBy("node"), "kg_betweenness_out")
+    out.betweenness_cache.unpersist()
+    return staged
+
+
+def _kg_betweenness_sql() -> str:
+    from ..operators.graph import betweenness_sql
+
+    seeds = (
+        "SELECT src AS node FROM (SELECT DISTINCT src FROM "
+        f"{_staged_sql('kg_graph_edges')} ORDER BY src LIMIT 4)"
+    )
+    return (
+        betweenness_sql(_staged_sql("kg_graph_edges"), seeds, max_hops=6)
+        + "\nORDER BY node"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3131,10 +3228,20 @@ def _kg_closeness_sql() -> str:
 # in-window, every module whose EXISTING functions were edited this
 # round keeps its entries in-window (graph.py -> kg_pagerank/
 # kg_khop_reach, sketch.py -> cms_join_size_orders, dedup.py ->
-# doc_incremental_neardup + the dedup/neardup family; sketch.py's and
+# doc_incremental_neardup + embedding_neardup_cosine; sketch.py's and
 # corpus.py's OTHER round-5 diffs are pure function APPENDS — the
 # functions behind their tail entries are byte-identical to the r4
-# greens, verifiable from git diff), and the 39 demoted entries below
+# greens, verifiable from git diff).  SESSION 3 adds kg_scc,
+# kg_harmonic, kg_betweenness (new entries always enter in-window) and
+# demotes doc_exact_dedup / minhash_dedup_pairs / simhash_dedup_pairs
+# to the tail: all three were driver-green in CORRECTNESS_r04 and the
+# functions behind them (exact_dedup, minhash_*, simhash_*) are
+# BYTE-IDENTICAL since — dedup.py's round-5 diff is a 4-line guard
+# inside incremental_lsh_pairs plus pure appends after
+# embedding_neardup_pairs (git diff 6114271..HEAD), so the demotion
+# criterion is the same "code untouched since its driver-green row"
+# used for the 39 entries below, applied at function granularity with
+# the diff as evidence.  The 39 demoted entries below
 # the window line (incl. q1_pricing_summary, kg_triples_ann,
 # kg_canonical_triples, knn_ivf_exhaustive, events_asof_join,
 # media_decode_stats, curate_training_corpus, events_sessionization,
@@ -3144,8 +3251,8 @@ def _kg_closeness_sql() -> str:
 # their code untouched since.  (kg_triples_exact stays in-window as
 # the triple-pipeline witness; the graph-family staged edges derive
 # from it every round regardless.)
-# Round 6 must rotate that 39-entry tail back in (two rounds' worth of
-# window churn: plan for ~11 r5-green in-window entries to hold over).
+# Round 6 must rotate that 42-entry tail back in (two rounds' worth of
+# window churn: plan for ~8 r5-green in-window entries to hold over).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_exact": kg_triples_exact,
     "kg_pagerank": kg_pagerank,
@@ -3155,6 +3262,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_components": kg_components,
     "kg_communities": kg_communities,
     "kg_closeness": kg_closeness,
+    "kg_harmonic": kg_harmonic,
+    "kg_betweenness": kg_betweenness,
+    "kg_scc": kg_scc,
     "kg_link_prediction": kg_link_prediction,
     "doc_semantic_dedup": doc_semantic_dedup,
     "doc_setsim_pairs": doc_setsim_pairs,
@@ -3167,9 +3277,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pmi_collocations": doc_pmi_collocations,
     "cms_join_size_orders": cms_join_size_orders,
     "doc_incremental_neardup": doc_incremental_neardup,
-    "doc_exact_dedup": doc_exact_dedup,
-    "minhash_dedup_pairs": minhash_dedup_pairs,
-    "simhash_dedup_pairs": simhash_dedup_pairs,
     "embedding_neardup_cosine": embedding_neardup_cosine,
     # rotated IN this round (the round-4 tail, all r03-green):
     "filter_project_pushdown": filter_project_pushdown,
@@ -3200,6 +3307,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": embedding_norm_stats,
     # ---- past the driver's 50-entry window: ALL driver-green in
     # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
+    "doc_exact_dedup": doc_exact_dedup,
+    "minhash_dedup_pairs": minhash_dedup_pairs,
+    "simhash_dedup_pairs": simhash_dedup_pairs,
     "q1_pricing_summary": q1_pricing_summary,
     "kg_triples_ann": kg_triples_ann,
     "kg_canonical_triples": kg_canonical_triples,
@@ -3324,6 +3434,9 @@ ORACLES: dict[str, str] = {
     "kg_triangles": _kg_triangles_sql(),
     "kg_personalized_pagerank": _kg_ppr_sql(),
     "kg_closeness": _kg_closeness_sql(),
+    "kg_harmonic": _kg_harmonic_sql(),
+    "kg_betweenness": _kg_betweenness_sql(),
+    "kg_scc": _kg_scc_sql(),
     "kg_link_prediction": _kg_linkpred_sql(),
     "knn_rrf_fusion": _rrf_fusion_sql(),
     "doc_pmi_collocations": _pmi_sql(),
