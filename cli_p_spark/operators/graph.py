@@ -1313,3 +1313,407 @@ lab AS (
   GROUP BY n.node)
 SELECT node, scc FROM lab
 """
+
+
+def condensation_layers(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 64,
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(scc, layer, n_members) — the condensation DAG of the directed
+    graph (one vertex per SCC, distinct inter-SCC edges) topologically
+    layered by LONGEST path from a source: layer(c) = 0 for SCCs with
+    no incoming condensation edge, else 1 + max(layer of predecessors).
+    This is the evaluation-order view of the entity graph: everything
+    in layer k can be processed after layers < k — the scheduling
+    companion to ``scc_labels`` (which only names the cycles).
+
+    Computed as integer fixed-point relaxation over the condensation
+    edges (layer := greatest(layer, max_pred + 1) until no change) —
+    converges in DAG-depth rounds, each round one |cedges ⋈ layers|
+    join (frontier-sized, the khop discipline), lineage cut per round.
+    Integer/string ops only — bit-exact cross-engine; the DuckDB twin
+    replays it as a recursive longest-chain closure over the same
+    condensation.  Raises after ``max_depth`` rounds (a true DAG always
+    converges; the guard catches a broken SCC labeling upstream)."""
+    from .ccomp import _checkpointer
+    from .lsh import _CacheHandle
+
+    labels = scc_labels(edges, src_col, dst_col, checkpoint=checkpoint)
+    lab = labels.select("node", "scc").persist()
+    lab.count()
+    labels.scc_cache.unpersist()
+
+    ls = lab.select(F.col("node").alias("_s"), F.col("scc").alias("cfrom"))
+    ld = lab.select(F.col("node").alias("_d"), F.col("scc").alias("cto"))
+    ce = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .join(ls, "_s")
+        .join(ld, "_d")
+        .filter(F.col("cfrom") != F.col("cto"))
+        .select("cfrom", "cto")
+        .distinct()
+        .persist()
+    )
+    ce.count()
+
+    layer = lab.select("scc").distinct().withColumn(
+        "layer", F.lit(0)
+    ).persist()
+    layer.count()
+    caches = [lab, ce]
+    for _round in range(max_depth):
+        upd = (
+            ce.join(
+                layer.select(
+                    F.col("scc").alias("_c"), F.col("layer").alias("_pl")
+                ),
+                ce["cfrom"] == F.col("_c"),
+            )
+            .groupBy(F.col("cto").alias("scc"))
+            .agg((F.max("_pl") + F.lit(1)).alias("_cand"))
+        )
+        new = _checkpointer(
+            layer.join(upd, "scc", "left").select(
+                "scc",
+                F.greatest(
+                    "layer", F.coalesce("_cand", F.lit(0))
+                ).alias("layer"),
+            ),
+            checkpoint,
+        ).persist()
+        changed = (
+            new.join(
+                layer.select("scc", F.col("layer").alias("_old")), "scc"
+            )
+            .filter(F.col("layer") != F.col("_old"))
+            .count()
+        )
+        layer.unpersist()
+        layer = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"condensation_layers: no fixed point in {max_depth} rounds "
+            "(is the SCC labeling sound?)"
+        )
+    out = layer.join(
+        lab.groupBy("scc").agg(F.count(F.lit(1)).alias("n_members")),
+        "scc",
+    ).select(
+        "scc",
+        F.col("layer").cast("int").alias("layer"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+    out.condensation_cache = _CacheHandle(*caches, layer)
+    return out
+
+
+def condensation_sql(edges_rel: str) -> str:
+    """DuckDB twin of condensation_layers: ``scc_sql``'s mutual-reach
+    labeling as a materialized CTE, condensation edges by double join,
+    then layer = longest chain ending at each SCC via a recursive
+    (c, depth) closure — finite because the condensation is acyclic."""
+    return f"""
+WITH RECURSIVE
+scc_map AS MATERIALIZED ({scc_sql(edges_rel)}),
+ce AS MATERIALIZED (
+  SELECT DISTINCT ls.scc AS cfrom, ld.scc AS cto
+  FROM (SELECT src, dst FROM {edges_rel} WHERE src <> dst) e
+  JOIN scc_map ls ON ls.node = e.src
+  JOIN scc_map ld ON ld.node = e.dst
+  WHERE ls.scc <> ld.scc),
+chain(c, d) AS (
+  SELECT cto, 1 FROM ce
+  UNION
+  SELECT ce.cto, p.d + 1 FROM chain p JOIN ce ON ce.cfrom = p.c),
+members AS (SELECT scc, COUNT(*) AS n_members FROM scc_map GROUP BY scc)
+SELECT m.scc,
+       CAST(COALESCE(MAX(p.d), 0) AS INTEGER) AS layer,
+       CAST(m.n_members AS BIGINT) AS n_members
+FROM members m LEFT JOIN chain p ON p.c = m.scc
+GROUP BY m.scc, m.n_members
+"""
+
+
+def bounded_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight: "Column | str",
+    max_hops: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(root, node, dist) — hop-bounded weighted shortest paths:
+    dist = minimum total edge weight over directed paths of at most
+    ``max_hops`` edges from each source (the root itself at 0).  The
+    hop bound makes the semantics exact and engine-portable (full
+    Bellman-Ford's round count is data-dependent); with max_hops >=
+    graph diameter it IS the shortest path.
+
+    Weights must be non-negative INTEGERS (column name or Column
+    expression) — integer min/plus only, so results are bit-exact
+    cross-engine; ``bounded_sp_sql`` unrolls the identical relaxation.
+    Scale shape: per round one |dist ⋈ edges| shuffle + one (root,
+    node) min-aggregation — work tracks the reached set, not
+    |V|·|sources|; state checkpointed per round (khop discipline).
+    Early exit when a round improves nothing (identical output to
+    running all rounds).
+
+    ``sources``: one column named ``node``."""
+    from .ccomp import _checkpointer
+    from .lsh import _CacheHandle
+
+    w = F.col(weight) if isinstance(weight, str) else weight
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"),
+            F.col(dst_col).alias("_d"),
+            w.cast("long").alias("_w"),
+        )
+        .filter(F.col("_s") != F.col("_d"))
+        .groupBy("_s", "_d")
+        .agg(F.min("_w").alias("_w"))
+        .persist()
+    )
+    dist = (
+        sources.select(F.col("node").alias("root"))
+        .distinct()
+        .select("root", F.col("root").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .persist()
+    )
+    dist.count()
+    for _round in range(max_hops):
+        ext = (
+            dist.join(e, dist["node"] == e["_s"])
+            .select("root", F.col("_d").alias("node"),
+                    (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        new = _checkpointer(
+            dist.unionByName(ext)
+            .groupBy("root", "node")
+            .agg(F.min("dist").alias("dist")),
+            checkpoint,
+        ).persist()
+        improved = (
+            new.join(
+                dist.select(
+                    "root", "node", F.col("dist").alias("_old")
+                ),
+                ["root", "node"],
+                "left",
+            )
+            .filter(
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+            )
+            .count()
+        )
+        dist.unpersist()
+        dist = new
+        if improved == 0:
+            break
+    out = dist.select("root", "node", "dist")
+    out.sp_cache = _CacheHandle(e, dist)
+    return out
+
+
+def bounded_sp_sql(
+    edges_rel: str, seeds_sql: str, weight_sql: str, max_hops: int = 6
+) -> str:
+    """DuckDB twin of bounded_shortest_paths: the Bellman-Ford rounds
+    unrolled as ``AS MATERIALIZED`` CTEs (khop_sql's inlining
+    rationale), ``weight_sql`` an integer expression over (src, dst)."""
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, CAST({weight_sql} AS BIGINT) AS w
+    FROM {edges_rel} WHERE src <> dst)
+  GROUP BY src, dst)""",
+        "d0 AS MATERIALIZED (SELECT DISTINCT node AS root, node, "
+        f"CAST(0 AS BIGINT) AS dist FROM ({seeds_sql}))",
+    ]
+    for i in range(1, max_hops + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT root, node, MIN(dist) AS dist FROM (
+    SELECT root, node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT p.root, e.dst AS node, p.dist + e.w AS dist
+    FROM d{i - 1} p JOIN e ON e.src = p.node)
+  GROUP BY root, node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT root, node, dist FROM d{max_hops}"
+    )
+
+
+def hyperball_from_hashes(
+    edges: DataFrame,
+    node_hashes: DataFrame,
+    t_max: int = 4,
+    log2m: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(node, t, reg_sum, n_ball_est) — HyperBall (Boldi-Vigna 2013):
+    per-node HLL sketches of the OUT-ball B(v, t) = nodes reachable from
+    v in <= t hops, for every t in 0..t_max.  n_ball_est is the HLL
+    cardinality estimate of |B(v, t)| — the per-node neighborhood
+    function, whose per-t ratios give degrees-of-separation / effective-
+    diameter curves without materializing any reachable set.
+
+    Sketch state is SPARSE integer rows (node, register, max_rank) —
+    only registers actually observed carry a row; the unseen-register
+    term is added at estimate time exactly as sketch.hll_from_hashes
+    does.  One HyperBall round is ball(v,t) = ball(v,t-1) ∪
+    ⋃_{(v,w)∈E} ball(w,t-1), which on registers is a max-merge:
+    |edges ⋈ regs| join + groupBy(node, register) MAX — map-side
+    partial-aggregated, shuffle rows <= |E| * registers-per-ball, state
+    <= |V| * m rows of three integers at ANY graph size.  Register
+    ranks only grow and rows are only added, so (row_count, sum(rank))
+    equality between rounds detects the fixed point exactly; remaining
+    t rows are emitted from the converged state (identical output to
+    running all t_max rounds).  Integer max/sum plus ONE final division
+    by an injected repr(f64) constant — bit-exact cross-engine;
+    ``hyperball_sql`` unrolls the identical rounds.
+
+    ``node_hashes``: (node, h) with h a 64-bit hash of the node id
+    (xxhash64) — split out so a staged-parquet oracle replays the exact
+    hash bytes (DuckDB has no xxhash64).  Every graph node must appear.
+    """
+    from .ccomp import _checkpointer
+    from .lsh import _CacheHandle
+    from .sketch import RANK_CAP, _alpha
+
+    m = 1 << log2m
+    est_num = repr(_alpha(m) * m * m * float(1 << RANK_CAP))
+
+    h = F.col("h")
+    bucket = F.pmod(h, F.lit(m))
+    rest = F.shiftrightunsigned(h, log2m)
+    lowest = rest.bitwiseAND(-rest)
+    rank = F.when(rest == 0, F.lit(RANK_CAP)).otherwise(
+        F.least(F.bit_count(lowest - 1) + 1, F.lit(RANK_CAP))
+    )
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .distinct()
+        .persist()
+    )
+    regs = (
+        node_hashes.select("node", bucket.alias("b"), rank.alias("r"))
+        .groupBy("node", "b")
+        .agg(F.max("r").alias("r"))
+        .persist()
+    )
+
+    def _estimates(frame, t):
+        seen = frame.groupBy("node").agg(
+            F.sum(F.expr(f"shiftleft(1L, {RANK_CAP} - r)")).alias("_s"),
+            F.count(F.lit(1)).alias("_nb"),
+        )
+        total = (
+            F.col("_s")
+            + (F.lit(m) - F.col("_nb")) * F.lit(1 << RANK_CAP)
+        )
+        return seen.select(
+            "node",
+            F.lit(t).cast("int").alias("t"),
+            total.cast("long").alias("reg_sum"),
+            (F.lit(float(est_num)) / total.cast("double")).alias(
+                "n_ball_est"
+            ),
+        )
+
+    caches = [e, regs]
+    outs = [_estimates(regs, 0)]
+    sig = tuple(regs.agg(F.count(F.lit(1)), F.sum("r")).first())
+    t_done = t_max
+    for t in range(1, t_max + 1):
+        prop = e.join(
+            regs.withColumnRenamed("node", "_d"), "_d"
+        ).select(F.col("_s").alias("node"), "b", "r")
+        new = _checkpointer(
+            regs.unionByName(prop)
+            .groupBy("node", "b")
+            .agg(F.max("r").alias("r")),
+            checkpoint,
+        ).persist()
+        caches.append(new)
+        nsig = tuple(new.agg(F.count(F.lit(1)), F.sum("r")).first())
+        regs = new
+        outs.append(_estimates(regs, t))
+        if nsig == sig:
+            t_done = t
+            break
+        sig = nsig
+    for t in range(t_done + 1, t_max + 1):
+        outs.append(_estimates(regs, t))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    out.hyperball_cache = _CacheHandle(*caches)
+    return out
+
+
+def hyperball_sql(
+    edges_rel: str, hashes_rel: str, t_max: int = 4, log2m: int = 6
+) -> str:
+    """DuckDB twin of hyperball_from_hashes: the max-merge rounds
+    unrolled as AS MATERIALIZED CTEs over exploded (node, b, r) register
+    rows, same bucket/rank bit tricks as sketch.hll_sql, same integer
+    unseen-register term and injected repr(f64) numerator."""
+    from .sketch import RANK_CAP, _alpha
+
+    m = 1 << log2m
+    est_num = repr(_alpha(m) * m * m * float(1 << RANK_CAP))
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM {edges_rel})",
+        f"""r0 AS MATERIALIZED (
+  SELECT node, b, MAX(r) AS r FROM (
+    SELECT node,
+           h % {m} + CASE WHEN h % {m} < 0 THEN {m} ELSE 0 END AS b,
+           CASE WHEN rest = 0 THEN {RANK_CAP}
+                ELSE LEAST(bit_count((rest & -rest) - 1) + 1, {RANK_CAP})
+           END AS r
+    FROM (SELECT node, h,
+                 (h >> {log2m}) & {(1 << (64 - log2m)) - 1} AS rest
+          FROM {hashes_rel}))
+  GROUP BY node, b)""",
+    ]
+    for t in range(1, t_max + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT node, b, MAX(r) AS r FROM (
+    SELECT node, b, r FROM r{t - 1}
+    UNION ALL
+    SELECT e.src AS node, p.b, p.r
+    FROM r{t - 1} p JOIN e ON e.dst = p.node)
+  GROUP BY node, b)""")
+    total = f"sm + ({m} - nb) * (1::BIGINT << {RANK_CAP})"
+    sels = [
+        f"""SELECT node, {t} AS t,
+       CAST({total} AS BIGINT) AS reg_sum,
+       {est_num} / CAST({total} AS DOUBLE) AS n_ball_est
+FROM (SELECT node,
+             CAST(SUM(1::BIGINT << ({RANK_CAP} - r)) AS BIGINT) AS sm,
+             COUNT(*) AS nb
+      FROM r{t} GROUP BY node)"""
+        for t in range(t_max + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(sels)
+    )

@@ -3202,6 +3202,74 @@ def _kg_betweenness_sql() -> str:
     )
 
 
+def kg_condensation(spark, sf_dir):
+    """Condensation DAG of the entity graph, topologically layered
+    (operators/graph.py condensation_layers): one row per SCC with its
+    longest-path-from-a-source layer and member count — the
+    evaluation-order view of the KG (layer k is processable after
+    layers < k).  Integer fixed-point relaxation over the condensation
+    edges; the DuckDB twin replays SCC labeling as mutual-reachability
+    closure plus a recursive longest-chain — bit-exact (integers
+    only)."""
+    from ..operators.graph import condensation_layers
+
+    edges = _kg_edges(spark, sf_dir)
+    out = condensation_layers(edges)
+    staged = _stage(out.orderBy("scc"), "kg_condensation_out")
+    out.condensation_cache.unpersist()
+    return staged
+
+
+def _kg_condensation_sql() -> str:
+    from ..operators.graph import condensation_sql
+
+    return condensation_sql(_staged_sql("kg_graph_edges")) + "ORDER BY scc"
+
+
+def kg_shortest_paths(spark, sf_dir):
+    """Hop-bounded weighted shortest paths from the 4 smallest subjects
+    (operators/graph.py bounded_shortest_paths, Bellman-Ford rounds):
+    min total edge weight over paths of <= 6 edges.  Edge weights are a
+    deterministic engine-portable integer expression over the entity
+    ids (1 + (len(src) + 2*len(dst)) % 7) so both engines derive them
+    from the SAME staged relation — integer min/plus only, bit-exact."""
+    from ..operators.graph import bounded_shortest_paths
+
+    edges = _kg_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(4)
+    )
+    w = (
+        F.lit(1)
+        + (F.length("src") + F.lit(2) * F.length("dst")) % F.lit(7)
+    )
+    out = bounded_shortest_paths(edges, seeds, w, max_hops=6)
+    staged = _stage(out.orderBy("root", "node"), "kg_sp_out")
+    out.sp_cache.unpersist()
+    return staged
+
+
+def _kg_shortest_paths_sql() -> str:
+    from ..operators.graph import bounded_sp_sql
+
+    seeds = (
+        "SELECT src AS node FROM (SELECT DISTINCT src FROM "
+        f"{_staged_sql('kg_graph_edges')} ORDER BY src LIMIT 4)"
+    )
+    return (
+        bounded_sp_sql(
+            _staged_sql("kg_graph_edges"),
+            seeds,
+            "1 + (LENGTH(src) + 2 * LENGTH(dst)) % 7",
+            max_hops=6,
+        )
+        + "\nORDER BY root, node"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3253,6 +3321,14 @@ def _kg_betweenness_sql() -> str:
 # from it every round regardless.)
 # Round 6 must rotate that 42-entry tail back in (two rounds' worth of
 # window churn: plan for ~8 r5-green in-window entries to hold over).
+# SESSION 4 exception to "new entries enter in-window": kg_condensation
+# and kg_shortest_paths land at the TOP OF THE TAIL (positions 51-52) —
+# the window is at capacity with entries that MUST hold their slot
+# (1-24 are this round's new/edited entries with no prior driver row;
+# 25-50 are the rotated-in r4 tail whose last driver row is r3, owed an
+# audit THIS round).  Both new entries are strict-checked locally
+# (Arrow-off, repr floats, sf0.01 + sf0.001) and are MANDATORY round-6
+# window entrants along with the rest of the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_exact": kg_triples_exact,
     "kg_pagerank": kg_pagerank,
@@ -3307,6 +3383,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": embedding_norm_stats,
     # ---- past the driver's 50-entry window: ALL driver-green in
     # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
+    "kg_condensation": kg_condensation,
+    "kg_shortest_paths": kg_shortest_paths,
     "doc_exact_dedup": doc_exact_dedup,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -3437,6 +3515,8 @@ ORACLES: dict[str, str] = {
     "kg_harmonic": _kg_harmonic_sql(),
     "kg_betweenness": _kg_betweenness_sql(),
     "kg_scc": _kg_scc_sql(),
+    "kg_condensation": _kg_condensation_sql(),
+    "kg_shortest_paths": _kg_shortest_paths_sql(),
     "kg_link_prediction": _kg_linkpred_sql(),
     "knn_rrf_fusion": _rrf_fusion_sql(),
     "doc_pmi_collocations": _pmi_sql(),

@@ -760,3 +760,262 @@ def test_scc_matches_bruteforce_and_duckdb(spark, tmp_path):
     sql = scc_sql(f"read_parquet('{p}/*.parquet')")
     duck = dict(duckdb.sql(sql).fetchall())
     assert duck == want
+
+
+def _py_condensation_layers(e, nodes):
+    """longest-path layering of the condensation of edge list e."""
+    scc = _py_scc(e, nodes)
+    ce = {(scc[a], scc[b]) for a, b in e if scc[a] != scc[b]}
+    sccs = set(scc.values())
+    layer = {c: 0 for c in sccs}
+    for _ in range(len(sccs) + 1):
+        changed = False
+        for a, b in ce:
+            if layer[a] + 1 > layer[b]:
+                layer[b] = layer[a] + 1
+                changed = True
+        if not changed:
+            break
+    members = defaultdict(int)
+    for _, c in scc.items():
+        members[c] += 1
+    return {c: (layer[c], members[c]) for c in sccs}
+
+
+def test_condensation_layers_chain_of_cycles(spark):
+    from cli_p_spark.operators.graph import condensation_layers
+
+    # 0<->1 -> 2 -> 3<->4 -> 5   : three SCC layers {0,1}=0, {2}=1, {3,4}=2, {5}=3
+    e = [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4), (4, 3), (4, 5)]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    out = condensation_layers(edges)
+    got = {r["scc"]: (r["layer"], r["n_members"]) for r in out.collect()}
+    out.condensation_cache.unpersist()
+    assert got == {0: (0, 2), 2: (1, 1), 3: (2, 2), 5: (3, 1)}
+
+
+def test_condensation_layers_matches_python_and_duckdb(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import (
+        condensation_layers,
+        condensation_sql,
+    )
+
+    rng = random.Random(181)
+    e = list({(rng.randrange(22), rng.randrange(22)) for _ in range(55)})
+    nodes = {a for a, _ in e} | {b for _, b in e}
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    p = str(tmp_path / "cond_edges.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    out = condensation_layers(edges)
+    got = {r["scc"]: (r["layer"], r["n_members"]) for r in out.collect()}
+    out.condensation_cache.unpersist()
+    want = _py_condensation_layers(e, nodes)
+    assert got == want
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            condensation_sql(f"read_parquet('{p}/*.parquet')")
+        ).fetchall()
+    }
+    assert duck == want
+
+
+def _py_bounded_sp(e_w, seeds, max_hops):
+    """hop-bounded Bellman-Ford over weighted edge list [(u, v, w)]."""
+    dist = {(r, r): 0 for r in seeds}
+    for _ in range(max_hops):
+        new = dict(dist)
+        for u, v, w in e_w:
+            for r in seeds:
+                if (r, u) in dist:
+                    c = dist[(r, u)] + w
+                    if c < new.get((r, v), float("inf")):
+                        new[(r, v)] = c
+        if new == dist:
+            break
+        dist = new
+    return dist
+
+
+def test_bounded_sp_path_vs_direct_edge(spark):
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.graph import bounded_shortest_paths
+
+    # direct edge weight 10 vs two-hop route weight 2+3: min wins
+    e = [("a", "b", 10), ("a", "m", 2), ("m", "b", 3), ("b", "c", 1)]
+    edges = spark.createDataFrame(e, "src string, dst string, w int")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = bounded_shortest_paths(edges, seeds, "w", max_hops=4)
+    got = {(r["root"], r["node"]): r["dist"] for r in out.collect()}
+    out.sp_cache.unpersist()
+    assert got == {
+        ("a", "a"): 0, ("a", "m"): 2, ("a", "b"): 5, ("a", "c"): 6,
+    }
+
+
+def test_bounded_sp_hop_cap_binds(spark):
+    from cli_p_spark.operators.graph import bounded_shortest_paths
+
+    # cheap long route needs 3 hops; expensive direct needs 1
+    e = [("a", "b", 100), ("a", "x", 1), ("x", "y", 1), ("y", "b", 1)]
+    edges = spark.createDataFrame(e, "src string, dst string, w int")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out2 = bounded_shortest_paths(edges, seeds, "w", max_hops=2)
+    got2 = {(r["root"], r["node"]): r["dist"] for r in out2.collect()}
+    out2.sp_cache.unpersist()
+    assert got2[("a", "b")] == 100  # long route out of reach at H=2
+    out3 = bounded_shortest_paths(edges, seeds, "w", max_hops=3)
+    got3 = {(r["root"], r["node"]): r["dist"] for r in out3.collect()}
+    out3.sp_cache.unpersist()
+    assert got3[("a", "b")] == 3
+
+
+def test_bounded_sp_matches_python_and_duckdb(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import (
+        bounded_shortest_paths,
+        bounded_sp_sql,
+    )
+
+    rng = random.Random(211)
+    e = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    e_w = [(u, v, 1 + (u + 2 * v) % 7) for u, v in e if u != v]
+    edges = spark.createDataFrame(e_w, "src bigint, dst bigint, w int")
+    p = str(tmp_path / "sp_edges.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    seeds_l = sorted({u for u, _, _ in e_w})[:3]
+    seeds = spark.createDataFrame([(s,) for s in seeds_l], "node bigint")
+    out = bounded_shortest_paths(edges, seeds, "w", max_hops=5)
+    got = {(r["root"], r["node"]): r["dist"] for r in out.collect()}
+    out.sp_cache.unpersist()
+    want = _py_bounded_sp(e_w, seeds_l, 5)
+    assert got == want
+    seeds_sql = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({s})" for s in seeds_l)
+        + ") t(node)"
+    )
+    duck = {
+        (r[0], r[1]): r[2]
+        for r in duckdb.sql(
+            bounded_sp_sql(
+                f"read_parquet('{p}/*.parquet')", seeds_sql, "w", 5
+            )
+        ).fetchall()
+    }
+    assert duck == want
+
+
+def _py_hyperball(e, hashes, t_max, log2m):
+    """brute-force: exact BFS balls per node, then HLL register math."""
+    from cli_p_spark.operators.sketch import RANK_CAP, _alpha
+
+    m = 1 << log2m
+    est_num = repr(_alpha(m) * m * m * float(1 << RANK_CAP))
+    adj = defaultdict(set)
+    for u, v in e:
+        adj[u].add(v)
+
+    def reg(h):
+        b = h % m  # Python % is non-negative == pmod
+        rest = (h % (1 << 64)) >> log2m  # unsigned shift
+        if rest == 0:
+            r = RANK_CAP
+        else:
+            r = min((rest & -rest).bit_length(), RANK_CAP)
+        return b, r
+
+    out = {}
+    for v in hashes:
+        ball = {v}
+        for t in range(t_max + 1):
+            regs = {}
+            for w in ball:
+                b, r = reg(hashes[w])
+                regs[b] = max(regs.get(b, 0), r)
+            sm = sum(1 << (RANK_CAP - r) for r in regs.values())
+            total = sm + (m - len(regs)) * (1 << RANK_CAP)
+            out[(v, t)] = (total, float(est_num) / total)
+            ball = ball | {w for u in ball for w in adj[u]}
+    return out
+
+
+def test_hyperball_matches_python_and_duckdb(spark, tmp_path):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.graph import (
+        hyperball_from_hashes,
+        hyperball_sql,
+    )
+
+    rng = random.Random(317)
+    e = list({(rng.randrange(25), rng.randrange(25)) for _ in range(50)})
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hdf = nodes.select("node", F.xxhash64("node").alias("h"))
+    hashes = {r["node"]: r["h"] for r in hdf.collect()}
+    ep = str(tmp_path / "hb_edges.parquet")
+    hp = str(tmp_path / "hb_hashes.parquet")
+    edges.write.mode("overwrite").parquet(ep)
+    hdf.write.mode("overwrite").parquet(hp)
+
+    out = hyperball_from_hashes(edges, hdf, t_max=3, log2m=4)
+    got = {
+        (r["node"], r["t"]): (r["reg_sum"], r["n_ball_est"])
+        for r in out.collect()
+    }
+    out.hyperball_cache.unpersist()
+    want = _py_hyperball(e, hashes, 3, 4)
+    assert len(got) == len(hashes) * 4
+    assert got == want  # ints exact; floats one identical IEEE division
+
+    sql = hyperball_sql(
+        f"read_parquet('{ep}/*.parquet')",
+        f"read_parquet('{hp}/*.parquet')",
+        t_max=3,
+        log2m=4,
+    )
+    duck = {(r[0], r[1]): (r[2], r[3]) for r in duckdb.sql(sql).fetchall()}
+    assert duck == want
+
+
+def test_hyperball_monotone_and_convergence(spark):
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.graph import hyperball_from_hashes
+
+    # path a->b->c: ball sizes 1,2,3 for a; converges at t=2 but t_max=5
+    # still emits saturated rows for t=3..5 (fixed-point fill path)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    hdf = nodes.select("node", F.xxhash64("node").alias("h"))
+    out = hyperball_from_hashes(edges, hdf, t_max=5, log2m=4)
+    rows = out.collect()
+    out.hyperball_cache.unpersist()
+    got = {(r["node"], r["t"]): r["reg_sum"] for r in rows}
+    assert len(got) == 3 * 6
+    # reg_sum is non-increasing in t (registers only grow)
+    for n in ("a", "b", "c"):
+        for t in range(1, 6):
+            assert got[(n, t)] <= got[(n, t - 1)]
+    # saturation: everything frozen from t=2 on
+    for n in ("a", "b", "c"):
+        for t in range(3, 6):
+            assert got[(n, t)] == got[(n, 2)]
+    # c has no out-edges: its ball never grows
+    assert got[("c", 5)] == got[("c", 0)]
