@@ -3270,6 +3270,46 @@ def _kg_shortest_paths_sql() -> str:
     )
 
 
+def kg_hyperball(spark, sf_dir):
+    """Per-node neighborhood function of the entity graph via HyperBall
+    (operators/graph.py hyperball_from_hashes): HLL sketches of the
+    t-hop out-ball for t=0..3, log2m=5 — the degrees-of-separation /
+    effective-diameter curve without materializing reachable sets.
+    Node hashes are staged (DuckDB has no xxhash64); everything after
+    is integer max-merge plus ONE division by an injected repr(f64)
+    constant, so the double column is bit-exact cross-engine."""
+    from ..operators.graph import hyperball_from_hashes
+
+    edges = _kg_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hashes = _stage(
+        nodes.select("node", F.xxhash64("node").alias("h")),
+        "kg_hb_hashes",
+    )
+    out = hyperball_from_hashes(edges, hashes, t_max=3, log2m=5)
+    staged = _stage(out.orderBy("node", "t"), "kg_hb_out")
+    out.hyperball_cache.unpersist()
+    return staged
+
+
+def _kg_hyperball_sql() -> str:
+    from ..operators.graph import hyperball_sql
+
+    return (
+        hyperball_sql(
+            _staged_sql("kg_graph_edges"),
+            _staged_sql("kg_hb_hashes"),
+            t_max=3,
+            log2m=5,
+        )
+        + "\nORDER BY node, t"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3385,6 +3425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
     "kg_condensation": kg_condensation,
     "kg_shortest_paths": kg_shortest_paths,
+    "kg_hyperball": kg_hyperball,
     "doc_exact_dedup": doc_exact_dedup,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -3517,6 +3558,7 @@ ORACLES: dict[str, str] = {
     "kg_scc": _kg_scc_sql(),
     "kg_condensation": _kg_condensation_sql(),
     "kg_shortest_paths": _kg_shortest_paths_sql(),
+    "kg_hyperball": _kg_hyperball_sql(),
     "kg_link_prediction": _kg_linkpred_sql(),
     "knn_rrf_fusion": _rrf_fusion_sql(),
     "doc_pmi_collocations": _pmi_sql(),
