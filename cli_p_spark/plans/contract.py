@@ -3310,6 +3310,179 @@ def _kg_hyperball_sql() -> str:
     )
 
 
+def _order_days(col: str = "o_orderdate"):
+    """Integer epoch-day column from the NTZ order timestamp — the
+    TZ-independent form both engines agree on (to_date takes the
+    literal date part; DuckDB twin: CAST(col AS DATE) - DATE
+    '1970-01-01')."""
+    return F.datediff(
+        F.to_date(col), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+
+
+_DAYS_SQL = "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+
+
+def orders_overlap_pairs(spark, sf_dir):
+    """Interval overlap self-join (operators/temporal.py
+    interval_join): pairs of orders of the SAME customer whose 30-day
+    activity windows [orderdate, orderdate+30) overlap, with the
+    overlap length.  Spark runs the bucketed emit-once equi-join (no
+    distinct, no per-key cross join); the oracle is the PLAIN non-equi
+    join — semantics vs mechanics.  Integer day arithmetic only."""
+    from ..operators.temporal import interval_join
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey", "o_orderkey", _order_days().alias("_d")
+    )
+    left = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok_a"),
+        F.col("_d").alias("s_a"),
+        (F.col("_d") + 30).alias("e_a"),
+    )
+    right = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("ok_b"),
+        F.col("_d").alias("s_b"),
+        (F.col("_d") + 30).alias("e_b"),
+    )
+    return (
+        interval_join(
+            left, right, ["o_custkey"], "s_a", "e_a", "s_b", "e_b", 32
+        )
+        .filter(F.col("ok_a") < F.col("ok_b"))
+        .select(
+            "o_custkey",
+            "ok_a",
+            "ok_b",
+            (
+                F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+            ).alias("overlap_days"),
+        )
+    )
+
+
+def _orders_overlap_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_custkey, o_orderkey, {_DAYS_SQL} AS d FROM orders)
+SELECT a.o_custkey, a.o_orderkey AS ok_a, b.o_orderkey AS ok_b,
+       LEAST(a.d + 30, b.d + 30) - GREATEST(a.d, b.d) AS overlap_days
+FROM base a JOIN base b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.d < b.d + 30 AND b.d < a.d + 30
+"""
+
+
+def orders_interval_islands(spark, sf_dir):
+    """Gaps-and-islands (operators/temporal.py temporal_coalesce):
+    merge each customer's overlapping-or-touching 30-day order windows
+    into maximal activity islands — (customer, island_start,
+    island_end, n_orders).  Two window passes + one groupBy, integer
+    comparisons only; the twin is the identical window pipeline."""
+    from ..operators.temporal import temporal_coalesce
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        _order_days().alias("s"),
+        (_order_days() + 30).alias("e"),
+    )
+    return temporal_coalesce(base, ["o_custkey"], "s", "e")
+
+
+def _orders_islands_sql() -> str:
+    from ..operators.temporal import temporal_coalesce_sql
+
+    base = (
+        "(SELECT o_custkey, "
+        f"{_DAYS_SQL} AS s, {_DAYS_SQL} + 30 AS e FROM orders)"
+    )
+    return temporal_coalesce_sql(base, ["o_custkey"], "s", "e")
+
+
+def bitemporal_orders_snapshot(spark, sf_dir):
+    """Bitemporal snapshot (operators/temporal.py
+    bitemporal_snapshot): two system versions per order are
+    synthesized deterministically (v1 recorded for 15 days from the
+    order date, then superseded by v2 with a 500-cent adjustment,
+    open-ended; both valid [orderdate, orderdate+60)), and the
+    snapshot asks what the table said AS OF system day 1995-06-15
+    ABOUT valid day 1995-07-01.  Pure filter — pushdown reaches the
+    scan; integer day + floor-cent arithmetic (FLOOR before the
+    BIGINT cast: DuckDB's double->int cast rounds, Spark's
+    truncates)."""
+    from datetime import date
+
+    from ..operators.temporal import bitemporal_snapshot
+
+    s_day = (date(1995, 6, 15) - date(1970, 1, 1)).days
+    v_day = (date(1995, 7, 1) - date(1970, 1, 1)).days
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        _order_days().alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_c"
+        ),
+    )
+    v1 = base.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(1).alias("version"),
+        F.col("d").alias("sf"),
+        (F.col("d") + 15).alias("st"),
+        F.col("d").alias("vf"),
+        (F.col("d") + 60).alias("vt"),
+        "price_c",
+    )
+    v2 = base.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(2).alias("version"),
+        (F.col("d") + 15).alias("sf"),
+        F.lit(None).cast("long").alias("st"),
+        F.col("d").alias("vf"),
+        (F.col("d") + 60).alias("vt"),
+        (F.col("price_c") + 500).alias("price_c"),
+    )
+    return bitemporal_snapshot(
+        v1.unionByName(v2), "sf", "st", "vf", "vt", s_day, v_day
+    ).select("o_orderkey", "o_custkey", "version", "price_c")
+
+
+def _bitemporal_orders_sql() -> str:
+    from datetime import date
+
+    from ..operators.temporal import bitemporal_snapshot_sql
+
+    s_day = (date(1995, 6, 15) - date(1970, 1, 1)).days
+    v_day = (date(1995, 7, 1) - date(1970, 1, 1)).days
+    vers = f"""(
+  WITH base AS (
+    SELECT o_orderkey, o_custkey, {_DAYS_SQL} AS d,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c
+    FROM orders)
+  SELECT o_orderkey, o_custkey, CAST(1 AS INT) AS version,
+         d AS sf, d + 15 AS st, d AS vf, d + 60 AS vt, price_c
+  FROM base
+  UNION ALL
+  SELECT o_orderkey, o_custkey, CAST(2 AS INT),
+         d + 15, CAST(NULL AS BIGINT), d, d + 60, price_c + 500
+  FROM base)"""
+    inner = bitemporal_snapshot_sql(
+        vers, "sf", "st", "vf", "vt", s_day, v_day
+    )
+    return (
+        "SELECT o_orderkey, o_custkey, version, price_c FROM ("
+        + inner
+        + ")"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3426,6 +3599,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_condensation": kg_condensation,
     "kg_shortest_paths": kg_shortest_paths,
     "kg_hyperball": kg_hyperball,
+    "orders_overlap_pairs": orders_overlap_pairs,
+    "orders_interval_islands": orders_interval_islands,
+    "bitemporal_orders_snapshot": bitemporal_orders_snapshot,
     "doc_exact_dedup": doc_exact_dedup,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -3559,6 +3735,9 @@ ORACLES: dict[str, str] = {
     "kg_condensation": _kg_condensation_sql(),
     "kg_shortest_paths": _kg_shortest_paths_sql(),
     "kg_hyperball": _kg_hyperball_sql(),
+    "orders_overlap_pairs": _orders_overlap_sql(),
+    "orders_interval_islands": _orders_islands_sql(),
+    "bitemporal_orders_snapshot": _bitemporal_orders_sql(),
     "kg_link_prediction": _kg_linkpred_sql(),
     "knn_rrf_fusion": _rrf_fusion_sql(),
     "doc_pmi_collocations": _pmi_sql(),
