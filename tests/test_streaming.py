@@ -298,3 +298,105 @@ def test_incremental_funnel_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and want[0] > 0
+
+
+def test_streaming_cms_heavy_hitters_equals_batch(spark, tmp_path):
+    """Three file drops of a skewed token stream: the merged streamed
+    sketch must equal one batch CMS over the whole stream counter-for-
+    counter, and the CMS top-k must be the exact heavy set."""
+    import random
+
+    from cli_p_spark.operators.sketch import cms_positions
+    from cli_p_spark.streaming.heavyhitters import (
+        cms_state_counters,
+        incremental_cms_stream,
+        streaming_heavy_hitters,
+    )
+
+    rnd = random.Random(11)
+    heavy = ["alpha", "beta", "gamma"]
+    tokens = [heavy[i % 3] for i in range(1500)]
+    tokens += [f"t{rnd.randrange(400):03d}" for _ in range(1500)]
+    rnd.shuffle(tokens)
+
+    in_dir = str(tmp_path / "in")
+    for k in range(3):
+        chunk = [(t,) for t in tokens[k * 1000: (k + 1) * 1000]]
+        spark.createDataFrame(chunk, "token string").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = incremental_cms_stream(
+        stream, state, str(tmp_path / "ckpt"),
+        depth=4, width=512, cand_per_batch=64,
+    )
+    q.awaitTermination(180)
+
+    merged = sorted(
+        (r["_j"], r["_pos"], r["_c"])
+        for r in cms_state_counters(spark, state).collect()
+    )
+    all_df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    batch = sorted(
+        (r["_j"], r["_pos"], r["_c"])
+        for r in cms_positions(
+            all_df.select(F.col("token").alias("_k")), "_k", 4, 512
+        )
+        .groupBy("_j", "_pos")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    assert merged == batch
+
+    hh = streaming_heavy_hitters(spark, state, k=3, depth=4, width=512)
+    rows = hh.collect()
+    assert {r["key"] for r in rows} == set(heavy)
+    for r in rows:
+        assert r["cms_count"] >= 500  # CMS never undercounts
+
+
+def test_streaming_cms_replay_idempotent(spark, tmp_path):
+    """At-least-once contract: re-running a batch body with the same
+    batch_id must leave the accumulated state byte-identical (dynamic
+    partition overwrite, not append)."""
+    from cli_p_spark.streaming.heavyhitters import (
+        _cms_batch_writer,
+        cms_state_counters,
+        streaming_heavy_hitters,
+    )
+
+    state = str(tmp_path / "state")
+    fn = _cms_batch_writer(state, "token", 4, 256, 16)
+    b0 = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 2, "token string"
+    )
+    b1 = spark.createDataFrame(
+        [("x",)] * 3 + [("z",)] * 4, "token string"
+    )
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snapshot():
+        ctr = sorted(
+            (r["_j"], r["_pos"], r["_c"])
+            for r in cms_state_counters(spark, state).collect()
+        )
+        hh = sorted(
+            (r["key"], r["cms_count"])
+            for r in streaming_heavy_hitters(
+                spark, state, k=3, depth=4, width=256
+            ).collect()
+        )
+        return ctr, hh
+
+    want = snapshot()
+    fn(b1, 1)  # replayed batch
+    assert snapshot() == want
+    _, hh = want
+    assert hh == [("x", 8), ("y", 2), ("z", 4)]
