@@ -513,6 +513,36 @@ def _graph_job(
     out["n_triangles"] = row["n_triangles"]
     out["triangles_s"] = round(time.time() - t0, 3)
     tri.triangle_cache.unpersist()
+
+    # round-5 session-4 operators at the same 10^6-edge graph:
+    # HyperBall neighborhood sketches (t<=3, m=64 registers) and
+    # hop-bounded integer Bellman-Ford from 3 sources
+    from cli_p_spark.operators.graph import (
+        bounded_shortest_paths,
+        hyperball_from_hashes,
+    )
+
+    t0 = time.time()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hdf = nodes.select("node", F.xxhash64("node").alias("h"))
+    hb = hyperball_from_hashes(edges, hdf, t_max=3, log2m=6)
+    out["hyperball_rows"] = hb.count()
+    out["hyperball_s"] = round(time.time() - t0, 3)
+    hb.hyperball_cache.unpersist()
+
+    t0 = time.time()
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "node long")
+    sp = bounded_shortest_paths(
+        edges, seeds, (F.col("src") + F.lit(2) * F.col("dst")) % F.lit(7) + F.lit(1),
+        max_hops=4,
+    )
+    out["bounded_sp_rows"] = sp.count()
+    out["bounded_sp_s"] = round(time.time() - t0, 3)
+    sp.sp_cache.unpersist()
     edges.unpersist()
     return out
 

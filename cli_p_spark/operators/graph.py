@@ -1717,3 +1717,109 @@ FROM (SELECT node,
         "WITH " + ",\n".join(parts) + "\n"
         + "\nUNION ALL\n".join(sels)
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(node, core_degree) — the k-core of the UNDIRECTED graph (edges
+    symmetrized, self-loops dropped): the maximal subgraph in which
+    every node has degree >= k, found by iterative peeling (drop all
+    nodes with degree < k, re-count, repeat to fixpoint).  core_degree
+    is the node's degree WITHIN the core.  The k-core is the classic
+    'dense kernel' view of the entity graph — hubs survive, tendrils
+    peel away — and the peeling order is unique, so the fixpoint is
+    deterministic regardless of execution order.
+
+    Integer degree counts and comparisons only — bit-exact
+    cross-engine; ``k_core_sql`` unrolls the same peeling rounds
+    (extra rounds past the fixpoint are no-ops, so Spark's early exit
+    and the SQL's fixed unroll agree).  Scale shape: per round one
+    degree groupBy + two semi-join-shaped filters on the shrinking
+    edge set — work tracks the surviving subgraph, lineage cut per
+    round (khop discipline).  Raises after ``max_rounds`` rounds
+    without convergence (each round strictly shrinks the edge set, so
+    rounds <= peeling depth <= |V|; 64 covers any non-adversarial
+    graph — raise it for deep tendril chains)."""
+    from .ccomp import _checkpointer
+    from .lsh import _CacheHandle
+
+    asym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    cur = (
+        asym.unionByName(
+            asym.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    caches = [cur]
+    n_edges = cur.count()
+    for _round in range(max_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        keep = deg.filter(F.col("_deg") >= k).select(
+            F.col("src").alias("_keep")
+        )
+        nxt = _checkpointer(
+            cur.join(keep, cur["src"] == F.col("_keep"))
+            .drop("_keep")
+            .join(
+                keep.withColumnRenamed("_keep", "_keep2"),
+                F.col("dst") == F.col("_keep2"),
+            )
+            .drop("_keep2"),
+            checkpoint,
+        ).persist()
+        caches.append(nxt)
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint in {max_rounds} rounds "
+            "(raise max_rounds)"
+        )
+    out = cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("core_degree")
+    )
+    out.kcore_cache = _CacheHandle(*caches)
+    return out
+
+
+def k_core_sql(edges_rel: str, k: int = 2, rounds: int = 16) -> str:
+    """DuckDB twin of k_core: ``rounds`` peeling rounds unrolled as
+    AS MATERIALIZED CTEs (rounds past the fixpoint are no-ops; pick
+    rounds >= the graph's peeling depth — k_core raises if Spark needs
+    more, so a mismatch fails loudly, not silently)."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {edges_rel} WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM {edges_rel} WHERE src <> dst))"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {k}),
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  JOIN k{i} a ON a.src = e.src
+  JOIN k{i} b ON b.src = e.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY src"""
+    )

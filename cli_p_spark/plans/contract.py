@@ -3310,6 +3310,30 @@ def _kg_hyperball_sql() -> str:
     )
 
 
+def kg_kcore(spark, sf_dir):
+    """2-core of the (undirected) entity graph (operators/graph.py
+    k_core): iterative peeling to fixpoint, (node, degree-in-core).
+    Integer counts only; the twin unrolls 16 peeling rounds (no-ops
+    past the fixpoint; k_core raises if Spark ever needs more, so an
+    unroll mismatch fails loudly)."""
+    from ..operators.graph import k_core
+
+    edges = _kg_edges(spark, sf_dir)
+    out = k_core(edges, k=2, max_rounds=16)
+    staged = _stage(out.orderBy("node"), "kg_kcore_out")
+    out.kcore_cache.unpersist()
+    return staged
+
+
+def _kg_kcore_sql() -> str:
+    from ..operators.graph import k_core_sql
+
+    return (
+        k_core_sql(_staged_sql("kg_graph_edges"), k=2, rounds=16)
+        + "\nORDER BY node"
+    )
+
+
 def _order_days(col: str = "o_orderdate"):
     """Integer epoch-day column from the NTZ order timestamp — the
     TZ-independent form both engines agree on (to_date takes the
@@ -3534,12 +3558,14 @@ def _bitemporal_orders_sql() -> str:
 # from it every round regardless.)
 # Round 6 must rotate that 42-entry tail back in (two rounds' worth of
 # window churn: plan for ~8 r5-green in-window entries to hold over).
-# SESSION 4 exception to "new entries enter in-window": kg_condensation
-# and kg_shortest_paths land at the TOP OF THE TAIL (positions 51-52) —
-# the window is at capacity with entries that MUST hold their slot
-# (1-24 are this round's new/edited entries with no prior driver row;
-# 25-50 are the rotated-in r4 tail whose last driver row is r3, owed an
-# audit THIS round).  Both new entries are strict-checked locally
+# SESSION 4 exception to "new entries enter in-window": the seven
+# session-4 entries (kg_condensation, kg_shortest_paths, kg_hyperball,
+# kg_kcore, orders_overlap_pairs, orders_interval_islands,
+# bitemporal_orders_snapshot) land at the TOP OF THE TAIL (positions
+# 51-57) — the window is at capacity with entries that MUST hold their
+# slot (1-24 are this round's new/edited entries with no prior driver
+# row; 25-50 are the rotated-in r4 tail whose last driver row is r3,
+# owed an audit THIS round).  All seven are strict-checked locally
 # (Arrow-off, repr floats, sf0.01 + sf0.001) and are MANDATORY round-6
 # window entrants along with the rest of the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3599,6 +3625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_condensation": kg_condensation,
     "kg_shortest_paths": kg_shortest_paths,
     "kg_hyperball": kg_hyperball,
+    "kg_kcore": kg_kcore,
     "orders_overlap_pairs": orders_overlap_pairs,
     "orders_interval_islands": orders_interval_islands,
     "bitemporal_orders_snapshot": bitemporal_orders_snapshot,
@@ -3735,6 +3762,7 @@ ORACLES: dict[str, str] = {
     "kg_condensation": _kg_condensation_sql(),
     "kg_shortest_paths": _kg_shortest_paths_sql(),
     "kg_hyperball": _kg_hyperball_sql(),
+    "kg_kcore": _kg_kcore_sql(),
     "orders_overlap_pairs": _orders_overlap_sql(),
     "orders_interval_islands": _orders_islands_sql(),
     "bitemporal_orders_snapshot": _bitemporal_orders_sql(),

@@ -1019,3 +1019,68 @@ def test_hyperball_monotone_and_convergence(spark):
             assert got[(n, t)] == got[(n, 2)]
     # c has no out-edges: its ball never grows
     assert got[("c", 5)] == got[("c", 0)]
+
+
+def _py_kcore(e, k):
+    """peel to fixpoint; return {node: degree_in_core}."""
+    adj = defaultdict(set)
+    for u, v in e:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    nodes = set(adj)
+    while True:
+        drop = {n for n in nodes if len(adj[n] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    return {n: len(adj[n] & nodes) for n in nodes}
+
+
+def test_kcore_triangle_with_tendril(spark):
+    from cli_p_spark.operators.graph import k_core
+
+    # triangle a-b-c plus a path c-d-e: 2-core = the triangle
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    out = k_core(edges, k=2)
+    got = {r["node"]: r["core_degree"] for r in out.collect()}
+    out.kcore_cache.unpersist()
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_matches_python_and_duckdb(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import k_core, k_core_sql
+
+    rng = random.Random(229)
+    e = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    p = str(tmp_path / "kcore_edges.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    for k in (2, 3, 4):
+        out = k_core(edges, k=k)
+        got = {r["node"]: r["core_degree"] for r in out.collect()}
+        out.kcore_cache.unpersist()
+        want = _py_kcore(e, k)
+        assert got == want, k
+        duck = dict(
+            duckdb.sql(
+                k_core_sql(f"read_parquet('{p}/*.parquet')", k=k, rounds=16)
+            ).fetchall()
+        )
+        assert duck == want, k
+
+
+def test_kcore_empty_core(spark):
+    from cli_p_spark.operators.graph import k_core
+
+    # a path has an empty 2-core
+    e = [("a", "b"), ("b", "c"), ("c", "d")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    out = k_core(edges, k=2)
+    assert out.count() == 0
+    out.kcore_cache.unpersist()
