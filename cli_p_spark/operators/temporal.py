@@ -63,7 +63,10 @@ def interval_join(
         raise ValueError("bucket_width must be positive")
 
     def _bucketed(df, s, e):
-        return df.withColumn(
+        # enforce the non-empty precondition: an empty [x, x) interval
+        # overlaps nothing, but the max(s) < min(e) predicate would
+        # claim it does, and sequence() would run DESCENDING on it
+        return df.filter(F.col(s) < F.col(e)).withColumn(
             "_b",
             F.explode(
                 F.sequence(

@@ -181,3 +181,17 @@ def test_interval_join_rejects_bad_width(spark):
     df = spark.createDataFrame([(1, 1, 0, 1)], "k long, i long, s long, e long")
     with pytest.raises(ValueError):
         interval_join(df, df, ["k"], "s", "e", "s", "e", 0)
+
+
+def test_interval_join_drops_empty_intervals(spark):
+    # [5,5) is empty: overlaps nothing, even intervals containing 5
+    left = spark.createDataFrame(
+        [(1, 10, 5, 5)], "k bigint, lid bigint, ls bigint, le bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 20, 3, 8)], "k bigint, rid bigint, rs bigint, re bigint"
+    )
+    out = interval_join(left, right, ["k"], "ls", "le", "rs", "re", 4)
+    assert out.count() == 0
+    out2 = interval_join(right, left, ["k"], "rs", "re", "ls", "le", 4)
+    assert out2.count() == 0
