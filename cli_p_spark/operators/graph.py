@@ -26,7 +26,7 @@ damping multiplication stays in int64 while n_nodes * unit * damping_ppm
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 UNIT = 1_000_000          # fixed-point scale: 1.0 rank unit
@@ -1823,3 +1823,130 @@ e{i} AS MATERIALIZED (
 SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
 FROM e{rounds} GROUP BY src"""
     )
+
+
+def comention_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_fanout: int = 10_000,
+) -> DataFrame:
+    """(e1, e2, n_docs) — the co-mention projection of the bipartite
+    (document -> entity) link relation: entity pairs that share at
+    least one supporting document, e1 < e2 canonical, weighted by the
+    number of distinct shared documents.  This is the relation-candidate
+    graph of KG construction — co-mentioned entity pairs are the
+    candidate set relation extraction scores.
+
+    Scale shape: a self equi-join on the document key — output per doc
+    is C(m, 2) for m linked entities, so documents above ``max_fanout``
+    linked entities (boilerplate/hub pages) are DROPPED before pairing
+    (the standard projection cap; they carry no relational signal and
+    would quadratically dominate).  The join shuffles on doc; hub docs
+    below the cap are AQE-splittable skew.  Integer counts only."""
+    e = edges.select(
+        F.col(src_col).alias("_doc"), F.col(dst_col).alias("_ent")
+    ).distinct()
+    ok = (
+        e.groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") <= max_fanout)
+        .select("_doc")
+    )
+    cap = e.join(ok, "_doc")
+    a = cap.select("_doc", F.col("_ent").alias("e1"))
+    b = cap.select(F.col("_doc").alias("_doc2"), F.col("_ent").alias("e2"))
+    return (
+        a.join(b, F.col("_doc") == F.col("_doc2"))
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def comention_sql(edges_rel: str, max_fanout: int = 10_000) -> str:
+    """DuckDB twin of comention_edges."""
+    return f"""
+WITH e AS (SELECT DISTINCT src AS doc, dst AS ent FROM {edges_rel}),
+ok AS (SELECT doc FROM e GROUP BY doc HAVING COUNT(*) <= {max_fanout}),
+cap AS (SELECT e.doc, e.ent FROM e JOIN ok USING (doc))
+SELECT a.ent AS e1, b.ent AS e2, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM cap a JOIN cap b ON a.doc = b.doc AND a.ent < b.ent
+GROUP BY a.ent, b.ent
+"""
+
+
+def negative_tails_from_hashes(
+    hashed: DataFrame,
+    tails: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(src, dst, i, neg_dst) — deterministic tail-corruption negative
+    sampling for KG-embedding training (TransE-family): for each
+    positive edge and sample index i, the negative tail is the entity
+    at dense position pmod(h, n) in the sorted candidate-tail list,
+    bumped ONE position (mod n) when it collides with the true tail —
+    so neg_dst != dst always (requires n >= 2).
+
+    ``hashed``: (src, dst, i, h) with h a 64-bit hash of (src, dst, i)
+    (xxhash64) — staged so a DuckDB oracle replays the exact hash
+    bytes.  ``tails``: one column ``tail``, the distinct candidate
+    entities.
+
+    Scale shape: sampling is a pure map over the edge scan plus two
+    equi-joins against the dense-id table (dimension-sized — broadcast
+    at 10^7 entities); no RNG state, so task retries/speculation and
+    partition-granular resume reproduce identical negatives.  The
+    dense ids come from ONE window over the entity dimension (not the
+    corpus).  The bump policy is (idx+1) mod n in INDEX space —
+    h+1 in hash space could overflow int64, which DuckDB rejects."""
+    n = tails.count()
+    if n < 2:
+        raise ValueError("negative sampling needs >= 2 candidate tails")
+    w = Window.orderBy("tail")
+    idx = tails.select(
+        "tail", (F.row_number().over(w) - 1).alias("_idx")
+    )
+    cand = hashed.withColumn(
+        "_i0", F.pmod(F.col("h"), F.lit(n))
+    ).withColumn("_i1", F.pmod(F.col("_i0") + 1, F.lit(n)))
+    t0 = idx.select(
+        F.col("tail").alias("_t0"), F.col("_idx").alias("_i0")
+    )
+    t1 = idx.select(
+        F.col("tail").alias("_t1"), F.col("_idx").alias("_i1")
+    )
+    return (
+        cand.join(t0, "_i0")
+        .join(t1, "_i1")
+        .select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            "i",
+            F.when(F.col("_t0") != F.col(dst_col), F.col("_t0"))
+            .otherwise(F.col("_t1"))
+            .alias("neg_dst"),
+        )
+    )
+
+
+def negative_tails_sql(hashes_rel: str, tails_sql: str) -> str:
+    """DuckDB twin of negative_tails_from_hashes; ``tails_sql`` selects
+    one column ``tail`` (the candidate set), n is derived in-query."""
+    return f"""
+WITH idx AS (
+  SELECT tail, ROW_NUMBER() OVER (ORDER BY tail) - 1 AS pos
+  FROM ({tails_sql})),
+n AS (SELECT COUNT(*) AS n FROM idx),
+base AS (
+  SELECT h.src, h.dst, h.i,
+         h.h % n.n + CASE WHEN h.h % n.n < 0 THEN n.n ELSE 0 END AS i0,
+         n.n AS n
+  FROM {hashes_rel} h CROSS JOIN n)
+SELECT b.src, b.dst, b.i,
+       CASE WHEN t0.tail <> b.dst THEN t0.tail ELSE t1.tail END AS neg_dst
+FROM base b
+JOIN idx t0 ON t0.pos = b.i0
+JOIN idx t1 ON t1.pos = (b.i0 + 1) % b.n
+"""

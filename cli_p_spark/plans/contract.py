@@ -3334,6 +3334,60 @@ def _kg_kcore_sql() -> str:
     )
 
 
+def kg_comention(spark, sf_dir):
+    """Entity co-mention projection (operators/graph.py
+    comention_edges): entity pairs sharing a supporting document,
+    e1 < e2, weighted by shared-doc count — the relation-candidate
+    graph of KG construction.  Hub documents above the fan-out cap are
+    dropped before pairing (quadratic-blowup guard); integer counts
+    only."""
+    from ..operators.graph import comention_edges
+
+    edges = _kg_edges(spark, sf_dir)
+    return comention_edges(edges)
+
+
+def _kg_comention_sql() -> str:
+    from ..operators.graph import comention_sql
+
+    return comention_sql(_staged_sql("kg_graph_edges"))
+
+
+def kg_negative_samples(spark, sf_dir):
+    """Deterministic tail-corruption negatives for KG-embedding
+    training (operators/graph.py negative_tails_from_hashes): 2
+    negatives per positive edge, tail drawn at the hash position in
+    the sorted entity list, bumped one slot (mod n) on collision with
+    the true tail — no RNG state, so retries/resume reproduce
+    identical negatives.  The (src, dst, i) hashes are staged (DuckDB
+    has no xxhash64); the twin replays dense ids + modulo + bump."""
+    from ..operators.graph import negative_tails_from_hashes
+
+    edges = _kg_edges(spark, sf_dir)
+    hashed = _stage(
+        edges.select(
+            "src",
+            "dst",
+            F.explode(F.sequence(F.lit(1), F.lit(2))).alias("i"),
+        ).select(
+            "src", "dst", "i", F.xxhash64("src", "dst", "i").alias("h")
+        ),
+        "kg_neg_hashes",
+    )
+    tails = edges.select(F.col("dst").alias("tail")).distinct()
+    return negative_tails_from_hashes(hashed, tails)
+
+
+def _kg_negative_sql() -> str:
+    from ..operators.graph import negative_tails_sql
+
+    return negative_tails_sql(
+        _staged_sql("kg_neg_hashes"),
+        "SELECT DISTINCT dst AS tail FROM "
+        + _staged_sql("kg_graph_edges"),
+    )
+
+
 def _order_days(col: str = "o_orderdate"):
     """Integer epoch-day column from the NTZ order timestamp — the
     TZ-independent form both engines agree on (to_date takes the
@@ -3558,16 +3612,17 @@ def _bitemporal_orders_sql() -> str:
 # from it every round regardless.)
 # Round 6 must rotate that 42-entry tail back in (two rounds' worth of
 # window churn: plan for ~8 r5-green in-window entries to hold over).
-# SESSION 4 exception to "new entries enter in-window": the seven
+# SESSION 4 exception to "new entries enter in-window": the nine
 # session-4 entries (kg_condensation, kg_shortest_paths, kg_hyperball,
-# kg_kcore, orders_overlap_pairs, orders_interval_islands,
-# bitemporal_orders_snapshot) land at the TOP OF THE TAIL (positions
-# 51-57) — the window is at capacity with entries that MUST hold their
-# slot (1-24 are this round's new/edited entries with no prior driver
-# row; 25-50 are the rotated-in r4 tail whose last driver row is r3,
-# owed an audit THIS round).  All seven are strict-checked locally
-# (Arrow-off, repr floats, sf0.01 + sf0.001) and are MANDATORY round-6
-# window entrants along with the rest of the tail.
+# kg_kcore, kg_comention, kg_negative_samples, orders_overlap_pairs,
+# orders_interval_islands, bitemporal_orders_snapshot) land at the TOP
+# OF THE TAIL (positions 51-59) — the window is at capacity with
+# entries that MUST hold their slot (1-24 are this round's new/edited
+# entries with no prior driver row; 25-50 are the rotated-in r4 tail
+# whose last driver row is r3, owed an audit THIS round).  All nine
+# are strict-checked locally (Arrow-off, repr floats, sf0.01 +
+# sf0.001) and are MANDATORY round-6 window entrants along with the
+# rest of the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_exact": kg_triples_exact,
     "kg_pagerank": kg_pagerank,
@@ -3626,6 +3681,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_shortest_paths": kg_shortest_paths,
     "kg_hyperball": kg_hyperball,
     "kg_kcore": kg_kcore,
+    "kg_comention": kg_comention,
+    "kg_negative_samples": kg_negative_samples,
     "orders_overlap_pairs": orders_overlap_pairs,
     "orders_interval_islands": orders_interval_islands,
     "bitemporal_orders_snapshot": bitemporal_orders_snapshot,
@@ -3763,6 +3820,8 @@ ORACLES: dict[str, str] = {
     "kg_shortest_paths": _kg_shortest_paths_sql(),
     "kg_hyperball": _kg_hyperball_sql(),
     "kg_kcore": _kg_kcore_sql(),
+    "kg_comention": _kg_comention_sql(),
+    "kg_negative_samples": _kg_negative_sql(),
     "orders_overlap_pairs": _orders_overlap_sql(),
     "orders_interval_islands": _orders_islands_sql(),
     "bitemporal_orders_snapshot": _bitemporal_orders_sql(),

@@ -1084,3 +1084,121 @@ def test_kcore_empty_core(spark):
     out = k_core(edges, k=2)
     assert out.count() == 0
     out.kcore_cache.unpersist()
+
+
+def test_comention_matches_python_and_duckdb(spark, tmp_path):
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import comention_edges, comention_sql
+
+    rng = random.Random(401)
+    e = list(
+        {(f"d{rng.randrange(40):02d}", f"e{rng.randrange(25):02d}")
+         for _ in range(160)}
+    )
+    edges = spark.createDataFrame(e, "src string, dst string")
+    p = str(tmp_path / "bip.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    out = comention_edges(edges)
+    got = sorted(
+        (r["e1"], r["e2"], r["n_docs"]) for r in out.collect()
+    )
+    by_doc = defaultdict(set)
+    for d, ent in e:
+        by_doc[d].add(ent)
+    cnt = defaultdict(int)
+    for ents in by_doc.values():
+        s = sorted(ents)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                cnt[(s[i], s[j])] += 1
+    want = sorted((a, b, n) for (a, b), n in cnt.items())
+    assert got == want
+    duck = sorted(
+        duckdb.sql(
+            comention_sql(f"read_parquet('{p}/*.parquet')")
+        ).fetchall()
+    )
+    assert duck == want
+
+
+def test_comention_fanout_cap(spark):
+    from cli_p_spark.operators.graph import comention_edges
+
+    # hub doc with 5 entities is dropped at max_fanout=4
+    e = [("hub", f"e{i}") for i in range(5)] + [("d1", "e0"), ("d1", "e1")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    out = comention_edges(edges, max_fanout=4)
+    got = sorted((r["e1"], r["e2"], r["n_docs"]) for r in out.collect())
+    assert got == [("e0", "e1", 1)]
+
+
+def test_negative_tails_deterministic_and_never_true_tail(spark, tmp_path):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.graph import (
+        negative_tails_from_hashes,
+        negative_tails_sql,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"s{i}", f"t{i % 4}") for i in range(12)], "src string, dst string"
+    )
+    hashed = edges.select(
+        "src", "dst", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("i")
+    ).select("src", "dst", "i", F.xxhash64("src", "dst", "i").alias("h"))
+    tails = edges.select(F.col("dst").alias("tail")).distinct()
+    out = negative_tails_from_hashes(hashed, tails)
+    rows = out.collect()
+    assert len(rows) == 12 * 3
+    tset = {r["tail"] for r in tails.collect()}
+    for r in rows:
+        assert r["neg_dst"] in tset and r["neg_dst"] != r["dst"]
+    # deterministic: a second run is identical
+    again = sorted(map(tuple, negative_tails_from_hashes(hashed, tails).collect()))
+    assert again == sorted(map(tuple, rows))
+
+    # python replication from the same hashes
+    hs = hashed.collect()
+    order = sorted(tset)
+    n = len(order)
+    want = sorted(
+        (
+            r["src"], r["dst"], r["i"],
+            order[r["h"] % n]
+            if order[r["h"] % n] != r["dst"]
+            else order[(r["h"] % n + 1) % n],
+        )
+        for r in hs
+    )
+    assert sorted(map(tuple, rows)) == want
+
+    hp = str(tmp_path / "negh.parquet")
+    hashed.write.mode("overwrite").parquet(hp)
+    duck = sorted(
+        duckdb.sql(
+            negative_tails_sql(
+                f"read_parquet('{hp}/*.parquet')",
+                f"SELECT DISTINCT dst AS tail FROM read_parquet('{hp}/*.parquet')",
+            )
+        ).fetchall()
+    )
+    assert duck == want
+
+
+def test_negative_tails_rejects_single_candidate(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cli_p_spark.operators.graph import negative_tails_from_hashes
+
+    edges = spark.createDataFrame([("a", "t0")], "src string, dst string")
+    hashed = edges.select(
+        "src", "dst", F.lit(1).alias("i"), F.xxhash64("src").alias("h")
+    )
+    tails = spark.createDataFrame([("t0",)], "tail string")
+    with pytest.raises(ValueError):
+        negative_tails_from_hashes(hashed, tails)
