@@ -55,10 +55,69 @@ RUN_LINKJOIN = os.environ.get("SPARK_GRAFT_LINKJOIN", "1") != "0"
 # Wall budget for the whole bench run (seconds).  The adaptive scaling
 # loop keeps sampling while the VM is noisy; unbounded, a bad run can
 # exceed an external harness timeout — and the JSON prints only at the
-# END, so a kill loses every measurement.  The budget is enforced at
-# the scaling stage (the only open-ended loop): reps stop once total
-# elapsed exceeds it, recording how many reps ran.
+# END, so a kill loses every measurement.  Enforcement (all recorded
+# in the JSON): the scaling loop stops extra reps past the budget, and
+# each OPTIONAL stage (graph / behavioral / link_join / canon 2nd rep)
+# is skipped when starting it would eat the reserve the canon+scaling
+# minimum evidence needs.  Headline queries, kg_pipeline, dim512 and
+# one canon rep + one scaling pair always run.
 BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1320"))
+# reserve for the mandatory tail (one canon rep ~60-120 s + one pinned
+# lo/hi scaling pair ~200-400 s on a slow day)
+BENCH_TAIL_RESERVE_S = float(
+    os.environ.get("SPARK_GRAFT_BENCH_TAIL_RESERVE", "500")
+)
+
+_BENCH_T0 = time.time()
+
+
+def _mark(name: str) -> None:
+    """Per-stage progress ledger on stderr (the driver greps stdout for
+    the JSON line): if an external timeout kills the run anyway, the
+    ledger shows exactly which stage ate the wall."""
+    print(
+        f"[bench +{time.time() - _BENCH_T0:7.1f}s] {name}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
+def _over_soft_budget() -> bool:
+    return time.time() - _BENCH_T0 > BENCH_BUDGET_S - BENCH_TAIL_RESERVE_S
+
+
+def _run_capped(spark, fn, cap_s: float, label: str):
+    """Run a bench stage with a HARD wall cap: the stage executes on a
+    worker thread under its own Spark job group; past ``cap_s`` the
+    group is cancelled and {"aborted_after_s": cap_s} is returned (and
+    recorded) instead of the measurement.  Motivation (round 5): on a
+    compute-degraded VM day the link_join stage ran 12x its historical
+    worst case — an unbounded stage turns one slow neighbor into a
+    lost bench record, because the JSON only prints at the end."""
+    import threading
+
+    sc = spark.sparkContext
+    group = f"bench-cap-{label}"
+    box: dict = {}
+
+    def target():
+        sc.setJobGroup(group, label, interruptOnCancel=True)
+        try:
+            box["value"] = fn()
+        except Exception as e:  # cancelled jobs raise through collect()
+            box["error"] = f"{type(e).__name__}: {e}"[:300]
+
+    th = threading.Thread(target=target, daemon=True)
+    th.start()
+    th.join(cap_s)
+    if th.is_alive():
+        sc.cancelJobGroup(group)
+        th.join(60)
+        _mark(f"{label} ABORTED at cap {cap_s:.0f}s")
+        return {"aborted_after_s": cap_s}
+    if "value" not in box:
+        return {"error": box.get("error", "unknown")}
+    return box["value"]
 LINK_ENTITIES = int(os.environ.get("SPARK_GRAFT_LINK_ENTITIES", "1000000"))
 LINK_MENTIONS = int(os.environ.get("SPARK_GRAFT_LINK_MENTIONS", "20000"))
 LINK_NLIST = int(os.environ.get("SPARK_GRAFT_LINK_NLIST", "4096"))
@@ -174,7 +233,20 @@ def _spawn_scale_level(cores: int, cpu_list: str, n_docs: int,
 
 
 def _collect_scale_level(proc, cores: int, n_docs: int) -> dict:
-    out, err = proc.communicate()
+    import subprocess
+
+    # hard cap per pinned level (2-core historical worst ~110 s; 10x
+    # headroom): a compute-degraded VM day must not turn one level into
+    # an unbounded wait that eats the whole bench record
+    cap = float(os.environ.get("SPARK_GRAFT_SCALE_LEVEL_CAP", "1000"))
+    try:
+        out, err = proc.communicate(timeout=cap)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise RuntimeError(
+            f"scale worker (cores={cores}) exceeded {cap:.0f}s cap"
+        )
     if proc.returncode != 0 or not out.strip():
         raise RuntimeError(
             f"scale worker (cores={cores}) failed rc={proc.returncode}; "
@@ -620,7 +692,8 @@ def main():
     from cli_p_spark.fixtures.generate import make_entities
     from cli_p_spark.plans.contract import QUERIES
 
-    bench_t0 = time.time()
+    global _BENCH_T0
+    _BENCH_T0 = time.time()
     ents_pdf = make_entities(N_ENTITIES)
     results: dict[str, float] = {}
     extra: dict = {}
@@ -644,12 +717,14 @@ def main():
     if RUN_SCALING:
         _corpus_path(spark, ents_pdf, SCALE_DOCS)
 
+    _mark("session+corpora ready")
     for name in HEADLINE:
         fn = QUERIES[name]
         fn(spark, SF_DIR).collect()  # warm (scan cache, codegen)
         t0 = time.time()
         fn(spark, SF_DIR).collect()
         results[name] = round(time.time() - t0, 3)
+    _mark("headline queries done")
 
     # decimal-aggregation cost probe: q1 with raw double sums on the same
     # scan — quantifies what the round-2 decimal hash-exactness trade
@@ -666,6 +741,7 @@ def main():
     extra["kg_n_docs"] = N_DOCS
     extra["kg_n_triples"] = n_triples
     _noise_probe(spark)
+    _mark("kg_pipeline done")
 
     if RUN_512D:
         # retry-on-drift (round-4 verdict: a 3.2x driver-record drift
@@ -680,46 +756,99 @@ def main():
         # gate misses it.  Up to 2 re-runs; every attempt's wall lands
         # in the JSON so the drift argument is in the record itself.
         sanity = float(os.environ.get("SPARK_GRAFT_512D_SANITY", "15"))
-        d = _dim512_job(spark)
-        attempts = [d["wall_s"]]
+        cap512 = float(os.environ.get("SPARK_GRAFT_512D_CAP", "300"))
+        d = _run_capped(
+            spark, lambda: _dim512_job(spark), cap512, "dim512"
+        )
+        attempts = [d.get("wall_s", f"aborted@{cap512:.0f}s")]
         _noise_probe(spark)
         retried = []
         for _ in range(2):
+            if "wall_s" not in d:
+                break  # aborted attempt: retrying won't beat the cap
+            if _over_soft_budget():
+                # sustained slowness, not a transient spike — a retry
+                # just spends the tail reserve for the same answer
+                retried.append("skipped:over_budget")
+                break
             floor = min(noise_samples)
             spiky = max(noise_samples[-2:]) > 1.3 * floor
             slow = d["wall_s"] > sanity
             if not (spiky or slow):
                 break
             retried.append("probe_spike" if spiky else "sanity_bound")
-            d2 = _dim512_job(spark)
-            attempts.append(d2["wall_s"])
+            d2 = _run_capped(
+                spark, lambda: _dim512_job(spark), cap512, "dim512"
+            )
+            attempts.append(d2.get("wall_s", f"aborted@{cap512:.0f}s"))
             _noise_probe(spark)
-            if d2["wall_s"] < d["wall_s"]:
+            if "wall_s" in d2 and d2["wall_s"] < d["wall_s"]:
                 d = d2
         d["attempts_wall_s"] = attempts
         d["retry_reasons"] = retried
         extra["dim512"] = d
+        _mark("dim512 done")
 
     if RUN_GRAPH:
-        extra["graph"] = _graph_job(spark)
-        _noise_probe(spark)
+        if _over_soft_budget():
+            extra["graph"] = {"skipped_for_budget": True}
+        else:
+            extra["graph"] = _run_capped(
+                spark, lambda: _graph_job(spark), 420, "graph"
+            )
+            _noise_probe(spark)
+        _mark("graph done")
 
     if RUN_BEHAVIORAL:
-        extra["behavioral"] = _behavioral_job(spark)
-        _noise_probe(spark)
+        if _over_soft_budget():
+            extra["behavioral"] = {"skipped_for_budget": True}
+        else:
+            extra["behavioral"] = _behavioral_job(spark)
+            _noise_probe(spark)
+        _mark("behavioral done")
 
     if RUN_LINKJOIN:
-        extra["link_join"] = _link_join_job(spark)
-        _noise_probe(spark)
+        if _over_soft_budget():
+            extra["link_join"] = {"skipped_for_budget": True}
+        else:
+            extra["link_join"] = _run_capped(
+                spark, lambda: _link_join_job(spark), 480, "link_join"
+            )
+            _noise_probe(spark)
+        _mark("link_join done")
 
     if RUN_CANON:
         # min of 2 (same policy as kg_pipeline): first run pays JIT +
-        # shuffle-service warm-up for this plan shape
-        runs = [_canon_job(spark, CANON_MENTIONS) for _ in range(2)]
-        results["canon_pipeline"], extra["canon"] = min(
-            runs, key=lambda r: r[0]
-        )
+        # shuffle-service warm-up for this plan shape; the 2nd rep is
+        # the optional half under the wall budget
+        runs = [
+            _run_capped(
+                spark,
+                lambda: _canon_job(spark, CANON_MENTIONS),
+                480,
+                "canon",
+            )
+        ]
+        if isinstance(runs[0], tuple) and not _over_soft_budget():
+            runs.append(
+                _run_capped(
+                    spark,
+                    lambda: _canon_job(spark, CANON_MENTIONS),
+                    480,
+                    "canon",
+                )
+            )
+        else:
+            extra["canon_second_rep_skipped_for_budget"] = True
+        good = [r for r in runs if isinstance(r, tuple)]
+        if good:
+            results["canon_pipeline"], extra["canon"] = min(
+                good, key=lambda r: r[0]
+            )
+        else:
+            extra["canon"] = runs[0]  # the abort/error record
         _noise_probe(spark)
+        _mark("canon done")
 
     extra["q1_double_sec"] = min(noise_samples)
     extra["noise_band"] = {
@@ -741,7 +870,6 @@ def main():
             f"machine has {os.cpu_count()} cores < SCALE_HI={SCALE_HI}"
         )
     elif RUN_SCALING:
-        corpus = _CORPUS_CACHE[SCALE_DOCS]
         # sequential pinned runs (no self-contention), interleaved
         # lo/hi/lo/hi..., min per level: with intermittent VM-neighbor
         # noise the per-level minimum approximates the clean machine for
@@ -752,41 +880,20 @@ def main():
         # ratio (measured clean: ~1.0; noisy single windows: 0.7).
         best: dict[str, dict] = {}
         ratio = SCALE_HI / SCALE_LO
-        reps_run = 0
-        for rep in range(6):
-            # budget guard: always run rep 0 (one lo+hi pair is the
-            # minimum viable evidence); stop sampling further reps when
-            # the whole bench run is out of wall budget, so the JSON
-            # still prints before any external harness timeout
-            if rep >= 1 and time.time() - bench_t0 > BENCH_BUDGET_S:
-                extra["scaling_budget_stop"] = {
-                    "after_reps": reps_run,
-                    "elapsed_s": round(time.time() - bench_t0, 1),
-                    "budget_s": BENCH_BUDGET_S,
-                }
-                break
-            for tag, cores in [("lo", SCALE_LO), ("hi", SCALE_HI)]:
-                p = _spawn_scale_level(
-                    cores, f"0-{cores - 1}", SCALE_DOCS, corpus
-                )
-                r = _collect_scale_level(p, cores, SCALE_DOCS)
-                if tag not in best or r["wall_s"] < best[tag]["wall_s"]:
-                    best[tag] = r
-            reps_run = rep + 1
-            eff = best["lo"]["wall_s"] / (ratio * best["hi"]["wall_s"])
-            # accept only a PLAUSIBLE stable ratio: eff > ~1.05 means
-            # the lo level's best is still noise-inflated (super-linear
-            # scaling of an identical job is not real) — keep sampling
-            # so the lo minimum can come down, instead of early-stopping
-            # on a nonsense ratio (a contaminated r5 run recorded 1.61
-            # by stopping at rep 1)
-            if rep >= 1 and 0.85 <= eff <= 1.05:
-                break
-        extra["scaling_lo"], extra["scaling_hi"] = best["lo"], best["hi"]
-        t_lo = extra["scaling_lo"]["wall_s"]
-        t_hi = extra["scaling_hi"]["wall_s"]
-        extra["scaling_efficiency"] = round(t_lo / (ratio * t_hi), 3)
-        extra["scaling_n_docs"] = SCALE_DOCS
+        try:
+            _run_scaling_reps(best, ratio, extra)
+        except Exception as e:
+            # a failed/capped level must not lose the whole JSON record
+            extra["scaling_error"] = f"{type(e).__name__}: {e}"[:300]
+        if "lo" in best and "hi" in best:
+            extra["scaling_lo"], extra["scaling_hi"] = (
+                best["lo"], best["hi"],
+            )
+            t_lo = best["lo"]["wall_s"]
+            t_hi = best["hi"]["wall_s"]
+            extra["scaling_efficiency"] = round(t_lo / (ratio * t_hi), 3)
+            extra["scaling_n_docs"] = SCALE_DOCS
+        _mark("scaling done")
 
     total = round(sum(results.values()), 3)
     print(
@@ -801,6 +908,41 @@ def main():
             }
         )
     )
+
+
+def _run_scaling_reps(best: dict, ratio: float, extra: dict) -> None:
+    corpus = _CORPUS_CACHE[SCALE_DOCS]
+    reps_run = 0
+    for rep in range(6):
+        # budget guard: always run rep 0 (one lo+hi pair is the
+        # minimum viable evidence); stop sampling further reps when
+        # the whole bench run is out of wall budget, so the JSON
+        # still prints before any external harness timeout
+        if rep >= 1 and time.time() - _BENCH_T0 > BENCH_BUDGET_S:
+            extra["scaling_budget_stop"] = {
+                "after_reps": reps_run,
+                "elapsed_s": round(time.time() - _BENCH_T0, 1),
+                "budget_s": BENCH_BUDGET_S,
+            }
+            break
+        for tag, cores in [("lo", SCALE_LO), ("hi", SCALE_HI)]:
+            p = _spawn_scale_level(
+                cores, f"0-{cores - 1}", SCALE_DOCS, corpus
+            )
+            r = _collect_scale_level(p, cores, SCALE_DOCS)
+            if tag not in best or r["wall_s"] < best[tag]["wall_s"]:
+                best[tag] = r
+        reps_run = rep + 1
+        _mark(f"scaling rep {reps_run} done")
+        eff = best["lo"]["wall_s"] / (ratio * best["hi"]["wall_s"])
+        # accept only a PLAUSIBLE stable ratio: eff > ~1.05 means
+        # the lo level's best is still noise-inflated (super-linear
+        # scaling of an identical job is not real) — keep sampling
+        # so the lo minimum can come down, instead of early-stopping
+        # on a nonsense ratio (a contaminated r5 run recorded 1.61
+        # by stopping at rep 1)
+        if rep >= 1 and 0.85 <= eff <= 1.05:
+            break
 
 
 if __name__ == "__main__":
