@@ -2,7 +2,8 @@
 
 entry(spark)   -> flagship KG-construction query on sf0.001.
 queries()      -> operator inventory per SURVEY.md §2.2 (cli_p_spark.plans.contract).
-oracle_sql()   -> DuckDB twins for EVERY entry (89/89): UDF-based entries
+oracle_sql()   -> DuckDB twins for EVERY QUERIES entry (key parity is
+                  test-enforced in tests/test_contract): UDF-based entries
                   (kg_*, minhash/simhash, media, curate) stage their
                   intermediates to parquet and the SQL re-derives the
                   result from the same bytes.  The external driver

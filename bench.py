@@ -1,10 +1,19 @@
 """Benchmark harness (driver contract: prints ONE JSON line).
 
+stdout contract (round 6): the LAST stdout line is a COMPACT JSON record
+(< ~1.2 KB — the round-5 full record outgrew the driver's tail-capture
+window and the round recorded `parsed: null`); the full detail record
+(attempt ledgers, probe brackets, caps) is written to BENCH_local.json
+next to this file and committed per round.
+
 Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], plus the KG pipeline (fused encode + IVF-search
 -> triples) on a deterministic distributed corpus, plus the two-cluster-
 size scaling evidence required by BASELINE.md: the same KG job, same
-input, at N and 4N cores; efficiency = T_N / (4 * T_4N).
+input, at N and 4N cores; efficiency = T_N / (4 * T_4N).  Stage order
+gives the SCALING pair budget priority (right after the headline
+numbers): it is the north-rule target scored on the driver record, and
+in round 5 it ran last and inherited a blown budget.
 
 Methodology notes:
 - OPENBLAS_NUM_THREADS=1: otherwise the low-parallelism session silently
@@ -211,6 +220,39 @@ def _scale_worker(cores: int, n_docs: int, corpus: str) -> None:
     wall, n = _kg_job(spark, ents_pdf, n_docs, cores)
     spark.stop()
     print(json.dumps({"wall_s": round(wall, 2), "n_triples": n}))
+
+
+def _dim512_worker(n_docs: int, corpus: str) -> None:
+    """Child-process entry for the ISOLATED dim512 run (round-5 verdict:
+    the reproduced 2.5-3x slow mode occurs in-session with clean
+    bracketing probes — a fresh subprocess session with its own JVM /
+    BLAS pool / Arrow pool is the control that localizes it: subprocess
+    always fast => the mode lives in shared session state, subprocess
+    also slow => it's the VM)."""
+    _CORPUS_CACHE[n_docs] = corpus
+    spark = _session(CPUS)
+    out = _dim512_job(spark, n_docs)
+    spark.stop()
+    print(json.dumps(out))
+
+
+def _spawn_dim512(n_docs: int, corpus: str):
+    """Pinned subprocess for the isolated dim512 control run (same
+    taskset mechanics as the scaling levels; pinned to the same core
+    budget the in-session run gets, so the ONLY variable is the fresh
+    session)."""
+    import shutil
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--dim512-worker",
+           str(n_docs), corpus]
+    ncores = os.cpu_count() or CPUS
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{min(CPUS, ncores) - 1}"] + cmd
+    return subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
 
 
 def _spawn_scale_level(cores: int, cpu_list: str, n_docs: int,
@@ -743,49 +785,111 @@ def main():
     _noise_probe(spark)
     _mark("kg_pipeline done")
 
+    # --- scaling evidence FIRST among the big stages (round-6): the
+    # N-vs-4N efficiency is the BASELINE north-rule target scored on the
+    # driver record; in round 5 it ran LAST, inherited a blown budget
+    # (1 rep, 0.741 on a degraded VM) — giving it budget priority right
+    # after the headline numbers is the structural fix.  The parent
+    # session sits idle while each pinned child runs; the quick
+    # noise-probe runs BETWEEN child runs, never during.
+    if RUN_SCALING and (os.cpu_count() or 0) < SCALE_HI:
+        extra["scaling_skipped"] = (
+            f"machine has {os.cpu_count()} cores < SCALE_HI={SCALE_HI}"
+        )
+    elif RUN_SCALING:
+        best: dict[str, dict] = {}
+        ratio = SCALE_HI / SCALE_LO
+        try:
+            _run_scaling_reps(best, ratio, extra, spark, _noise_probe,
+                              noise_samples)
+        except Exception as e:
+            # a failed/capped level must not lose the whole JSON record
+            extra["scaling_error"] = f"{type(e).__name__}: {e}"[:300]
+        if "lo" in best and "hi" in best:
+            extra["scaling_lo"], extra["scaling_hi"] = (
+                best["lo"], best["hi"],
+            )
+            t_lo = best["lo"]["wall_s"]
+            t_hi = best["hi"]["wall_s"]
+            eff = round(t_lo / (ratio * t_hi), 3)
+            extra["scaling_efficiency"] = eff
+            extra["scaling_n_docs"] = SCALE_DOCS
+            if not (0.5 <= eff <= 1.05):
+                # an identical job cannot scale super-linearly, and a
+                # sub-0.5 reading on a probe-confirmed-noisy box is the
+                # noise, not the code: say so in the record instead of
+                # letting a contaminated single pair stand as the
+                # measurement (clean-machine history: 0.896-0.979)
+                extra["scaling_ratio_implausible"] = True
+        _mark("scaling done")
+
     if RUN_512D:
-        # retry-on-drift (round-4 verdict: a 3.2x driver-record drift
-        # with unchanged code needed an idle re-run to argue away).
-        # Two triggers, both recorded per attempt: (a) the bracketing
-        # noise probe exceeds 1.3x the run's floor (machine visibly
-        # loaded), and (b) an ABSOLUTE sanity bound — round-5 bisection
-        # showed the slow mode (25 s vs 7-10 s idle; the r4 driver
-        # record AND one r5 local full-bench run) can occur while the
-        # scan-bound probe stays clean, i.e. the interference hits
-        # sustained BLAS/Python-worker compute only, so a probe-only
-        # gate misses it.  Up to 2 re-runs; every attempt's wall lands
-        # in the JSON so the drift argument is in the record itself.
+        # Round-6 design (verdict item 4): the stage's PRIMARY run is a
+        # taskset-pinned SUBPROCESS with a fresh session — the isolation
+        # control for the reproduced in-session slow mode (25 s with
+        # clean bracketing probes vs 6.8-10 s standalone).  One
+        # IN-SESSION attempt runs as the comparator: subprocess fast +
+        # in-session slow localizes the mode to shared session state
+        # (GC pressure, BLAS threadpool, Arrow pool); both slow means
+        # the VM.  Both walls land in the JSON.
         sanity = float(os.environ.get("SPARK_GRAFT_512D_SANITY", "15"))
         cap512 = float(os.environ.get("SPARK_GRAFT_512D_CAP", "300"))
-        d = _run_capped(
-            spark, lambda: _dim512_job(spark), cap512, "dim512"
-        )
-        attempts = [d.get("wall_s", f"aborted@{cap512:.0f}s")]
+        n512 = int(os.environ.get("SPARK_GRAFT_512D_DOCS", "50000"))
+        corpus512 = _corpus_path(spark, ents_pdf, n512)
+
+        def _sub_attempt() -> dict:
+            try:
+                p = _spawn_dim512(n512, corpus512)
+                out_, err_ = p.communicate(timeout=cap512)
+                if p.returncode == 0 and out_.strip():
+                    return json.loads(out_.strip().splitlines()[-1])
+                return {"error": f"dim512 worker rc={p.returncode}: "
+                                 f"{(err_ or '')[-300:]}"}
+            except Exception as e:  # timeout, parse, spawn
+                return {"error": f"{type(e).__name__}: {e}"[:300]}
+
         _noise_probe(spark)
-        retried = []
-        for _ in range(2):
-            if "wall_s" not in d:
-                break  # aborted attempt: retrying won't beat the cap
-            if _over_soft_budget():
-                # sustained slowness, not a transient spike — a retry
-                # just spends the tail reserve for the same answer
-                retried.append("skipped:over_budget")
-                break
-            floor = min(noise_samples)
-            spiky = max(noise_samples[-2:]) > 1.3 * floor
-            slow = d["wall_s"] > sanity
-            if not (spiky or slow):
-                break
-            retried.append("probe_spike" if spiky else "sanity_bound")
-            d2 = _run_capped(
-                spark, lambda: _dim512_job(spark), cap512, "dim512"
+        sub_runs = [_sub_attempt()]
+        _noise_probe(spark)
+        # one subprocess retry if the first looks contaminated (probe
+        # spike around it, or above the absolute sanity bound)
+        retried: list = []
+        first_w = sub_runs[0].get("wall_s")
+        floor = min(noise_samples)
+        spiky = max(noise_samples[-2:]) > 1.3 * floor
+        if (first_w is None or first_w > sanity or spiky) \
+                and not _over_soft_budget():
+            retried.append(
+                "probe_spike" if spiky
+                else ("worker_failed" if first_w is None else "sanity_bound")
             )
-            attempts.append(d2.get("wall_s", f"aborted@{cap512:.0f}s"))
+            sub_runs.append(_sub_attempt())
             _noise_probe(spark)
-            if "wall_s" in d2 and d2["wall_s"] < d["wall_s"]:
-                d = d2
-        d["attempts_wall_s"] = attempts
+        # in-session comparator (capped): the round-5 bisection's other
+        # arm — subprocess fast + in-session slow localizes the slow
+        # mode to shared session state; both slow means the VM
+        ins = _run_capped(
+            spark, lambda: _dim512_job(spark), cap512, "dim512-insession"
+        )
+        _noise_probe(spark)
+        sub_best = min(
+            (r for r in sub_runs if "wall_s" in r),
+            key=lambda r: r["wall_s"], default=None,
+        )
+        d = dict(sub_best) if sub_best else {"n_docs": n512}
+        d["isolation"] = "subprocess" if sub_best else "none"
+        d["subprocess_walls_s"] = [
+            r.get("wall_s", r.get("error", "?")) for r in sub_runs
+        ]
+        d["in_session_wall_s"] = ins.get(
+            "wall_s", f"aborted@{cap512:.0f}s" if "aborted_after_s" in ins
+            else ins.get("error", "?")
+        )
         d["retry_reasons"] = retried
+        if sub_best is None and "wall_s" in ins:
+            # isolated runs all failed: fall back to the in-session wall
+            d.update(ins)
+            d["isolation"] = "in_session"
         extra["dim512"] = d
         _mark("dim512 done")
 
@@ -803,7 +907,11 @@ def main():
         if _over_soft_budget():
             extra["behavioral"] = {"skipped_for_budget": True}
         else:
-            extra["behavioral"] = _behavioral_job(spark)
+            # capped like the other optional stages: a hung behavioral
+            # stage must not eat the tail reserve (ADVICE r5)
+            extra["behavioral"] = _run_capped(
+                spark, lambda: _behavioral_job(spark), 300, "behavioral"
+            )
             _noise_probe(spark)
         _mark("behavioral done")
 
@@ -839,7 +947,12 @@ def main():
                 )
             )
         else:
-            extra["canon_second_rep_skipped_for_budget"] = True
+            # distinct reasons (ADVICE r5): a rep-1 abort is not a
+            # budget decision and must not be labeled as one
+            extra["canon_second_rep_skipped"] = (
+                "rep1_aborted" if not isinstance(runs[0], tuple)
+                else "over_budget"
+            )
         good = [r for r in runs if isinstance(r, tuple)]
         if good:
             results["canon_pipeline"], extra["canon"] = min(
@@ -863,98 +976,149 @@ def main():
     )
     spark.stop()
 
-    # --- scaling evidence: same KG job, same input, N vs 4N cores,
-    # each level a taskset-pinned subprocess (true core isolation) ---
-    if RUN_SCALING and (os.cpu_count() or 0) < SCALE_HI:
-        extra["scaling_skipped"] = (
-            f"machine has {os.cpu_count()} cores < SCALE_HI={SCALE_HI}"
-        )
-    elif RUN_SCALING:
-        # sequential pinned runs (no self-contention), interleaved
-        # lo/hi/lo/hi..., min per level: with intermittent VM-neighbor
-        # noise the per-level minimum approximates the clean machine for
-        # BOTH levels, which is the fair basis for the ratio.  Adaptive
-        # rep count: sample until the min-based ratio stabilizes at
-        # near-linear or the rep budget runs out — on a noisy shared VM
-        # a fixed small rep count randomly understates the clean-machine
-        # ratio (measured clean: ~1.0; noisy single windows: 0.7).
-        best: dict[str, dict] = {}
-        ratio = SCALE_HI / SCALE_LO
-        try:
-            _run_scaling_reps(best, ratio, extra)
-        except Exception as e:
-            # a failed/capped level must not lose the whole JSON record
-            extra["scaling_error"] = f"{type(e).__name__}: {e}"[:300]
-        if "lo" in best and "hi" in best:
-            extra["scaling_lo"], extra["scaling_hi"] = (
-                best["lo"], best["hi"],
-            )
-            t_lo = best["lo"]["wall_s"]
-            t_hi = best["hi"]["wall_s"]
-            eff = round(t_lo / (ratio * t_hi), 3)
-            extra["scaling_efficiency"] = eff
-            extra["scaling_n_docs"] = SCALE_DOCS
-            if not (0.5 <= eff <= 1.05):
-                # an identical job cannot scale super-linearly, and a
-                # sub-0.5 reading on a probe-confirmed-noisy box is the
-                # noise, not the code: say so in the record instead of
-                # letting a contaminated single pair stand as the
-                # measurement (clean-machine history: 0.896-0.951)
-                extra["scaling_ratio_implausible"] = True
-        _mark("scaling done")
-
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"),
-                **extra,
-            }
-        )
+    full = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf"),
+        **extra,
+    }
+    # Full detail is a committed ARTIFACT; stdout gets a COMPACT final
+    # line.  Round-5 lesson: the full record outgrew the driver's stdout
+    # tail-capture window, the captured tail started mid-line, and the
+    # round's bench record became unparseable (`parsed: null`) — a bench
+    # that always emits JSON the driver cannot capture is half the job.
+    # The compact line (< ~1.2 KB) carries the headline numbers + a
+    # pointer; BENCH_local.json carries every attempt/ledger/cap detail.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        full["detail_write_error"] = str(e)[:200]
+    compact = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": full["sf"],
+        "kg_docs_per_s": extra.get("kg_docs_per_s"),
+        "kg_n_triples": extra.get("kg_n_triples"),
+        "scaling_efficiency": extra.get("scaling_efficiency"),
+        "scaling_lo_wall_s": extra.get("scaling_lo", {}).get("wall_s"),
+        "scaling_hi_wall_s": extra.get("scaling_hi", {}).get("wall_s"),
+        "scaling_lo_probe_clean": extra.get("scaling_lo_probe_clean"),
+        "dim512_wall_s": extra.get("dim512", {}).get("wall_s"),
+        "dim512_isolation": extra.get("dim512", {}).get("isolation"),
+        "dim512_in_session_wall_s": extra.get("dim512", {}).get(
+            "in_session_wall_s"
+        ),
+        "noise_spread": extra.get("noise_band", {}).get("spread"),
+        "detail": "BENCH_local.json",
+    }
+    print(json.dumps(compact))
 
 
-def _run_scaling_reps(best: dict, ratio: float, extra: dict) -> None:
+def _run_scaling_reps(
+    best: dict, ratio: float, extra: dict, spark, noise_probe,
+    noise_samples: list,
+) -> None:
+    """Sequential pinned lo/hi reps, min per level, PROBE-GATED: each
+    lo-level run is bracketed by the q1_double noise probe in the parent
+    session; a rep whose lo bracket exceeds 1.25x the run's idle floor
+    is recorded as contaminated, and sampling continues (budget
+    allowing) until a rep with a CLEAN lo bracket exists and the
+    min-based ratio is plausible — the round-5 record's failure mode was
+    exactly one contaminated, unretried lo rep standing as the
+    measurement.  Per-attempt walls + probe brackets all land in the
+    record."""
     corpus = _CORPUS_CACHE[SCALE_DOCS]
+    stage_t0 = time.time()
+    stage_budget = float(
+        os.environ.get("SPARK_GRAFT_SCALING_STAGE_BUDGET", "700")
+    )
+    attempts: list[dict] = []
+    extra["scaling_attempts"] = attempts
+    lo_clean_best: float | None = None
     reps_run = 0
     for rep in range(6):
-        # budget guard: always run rep 0 (one lo+hi pair is the
-        # minimum viable evidence); stop sampling further reps when
-        # the whole bench run is out of wall budget, so the JSON
-        # still prints before any external harness timeout
-        if rep >= 1 and time.time() - _BENCH_T0 > BENCH_BUDGET_S:
+        # budget guards: always run rep 0 (one lo+hi pair is the
+        # minimum viable evidence); stop extra reps past the stage or
+        # whole-bench budget so the JSON still prints before any
+        # external harness timeout
+        if rep >= 1 and (
+            time.time() - stage_t0 > stage_budget
+            or time.time() - _BENCH_T0 > BENCH_BUDGET_S
+        ):
             extra["scaling_budget_stop"] = {
                 "after_reps": reps_run,
+                "stage_elapsed_s": round(time.time() - stage_t0, 1),
+                "stage_budget_s": stage_budget,
                 "elapsed_s": round(time.time() - _BENCH_T0, 1),
                 "budget_s": BENCH_BUDGET_S,
             }
             break
+        att: dict = {"rep": rep}
+        noise_probe(spark)
+        att["probe_before_lo"] = noise_samples[-1]
         for tag, cores in [("lo", SCALE_LO), ("hi", SCALE_HI)]:
             p = _spawn_scale_level(
                 cores, f"0-{cores - 1}", SCALE_DOCS, corpus
             )
             r = _collect_scale_level(p, cores, SCALE_DOCS)
+            att[f"{tag}_wall_s"] = r["wall_s"]
+            if tag == "lo":
+                noise_probe(spark)
+                att["probe_after_lo"] = noise_samples[-1]
             if tag not in best or r["wall_s"] < best[tag]["wall_s"]:
                 best[tag] = r
+        floor = min(noise_samples)
+        # 1.25x the idle floor per the r5 verdict; tunable because the
+        # probe's RELATIVE jitter grows as sf shrinks (at sf0.01 the
+        # 0.05 s probe is all jitter and the gate never reads clean)
+        clean_factor = float(
+            os.environ.get("SPARK_GRAFT_SCALE_PROBE_CLEAN", "1.25")
+        )
+        att["lo_probe_clean"] = (
+            max(att["probe_before_lo"], att["probe_after_lo"])
+            <= clean_factor * floor
+        )
+        if att["lo_probe_clean"]:
+            lo_clean_best = min(
+                att["lo_wall_s"],
+                lo_clean_best if lo_clean_best is not None else 1e18,
+            )
+        attempts.append(att)
         reps_run = rep + 1
-        _mark(f"scaling rep {reps_run} done")
+        _mark(
+            f"scaling rep {reps_run} done "
+            f"(lo {att['lo_wall_s']}s hi {att['hi_wall_s']}s "
+            f"clean={att['lo_probe_clean']})"
+        )
         eff = best["lo"]["wall_s"] / (ratio * best["hi"]["wall_s"])
-        # accept only a PLAUSIBLE stable ratio: eff > ~1.05 means
-        # the lo level's best is still noise-inflated (super-linear
-        # scaling of an identical job is not real) — keep sampling
-        # so the lo minimum can come down, instead of early-stopping
-        # on a nonsense ratio (a contaminated r5 run recorded 1.61
-        # by stopping at rep 1)
-        if rep >= 1 and 0.85 <= eff <= 1.05:
+        # stop only on a PLAUSIBLE ratio from a probe-clean lo rep:
+        # eff > ~1.05 means the lo best is still noise-inflated
+        # (super-linear scaling of an identical job is not real), and a
+        # dirty-bracket lo best is exactly the round-5 failure mode
+        if rep >= 1 and 0.85 <= eff <= 1.05 and lo_clean_best is not None:
             break
+    # True when a clean-bracket rep exists and the recorded lo minimum
+    # is at least as fast as that rep (noise only ever inflates a wall,
+    # so a faster dirty-bracket minimum is still a valid lower bound)
+    extra["scaling_lo_probe_clean"] = (
+        lo_clean_best is not None
+        and best.get("lo", {}).get("wall_s", 1e18) <= lo_clean_best
+    )
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--scale-worker":
         _scale_worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--dim512-worker":
+        _dim512_worker(int(sys.argv[2]), sys.argv[3])
     else:
         main()

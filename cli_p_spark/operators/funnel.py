@@ -154,8 +154,19 @@ def fold_funnel_state(
         F.expr("array_sort(collect_list(struct(_t, _s)))").alias("_ev")
     )
     if state is None:
+        # first-batch empty state takes the BATCH's _u type: a hardcoded
+        # bigint would make the full_outer join coerce string user ids
+        # (silently null-casting non-numeric ids in future Spark versions)
+        from pyspark.sql.types import (
+            ArrayType, LongType, StructField, StructType,
+        )
+
         state = per_user.sparkSession.createDataFrame(
-            [], "_u bigint, _acc array<bigint>"
+            [],
+            StructType([
+                StructField("_u", per_user.schema["_u"].dataType, True),
+                StructField("_acc", ArrayType(LongType()), True),
+            ]),
         )
     merged = per_user.join(
         state.select("_u", F.col("_acc").alias("_old")), "_u", "full_outer"

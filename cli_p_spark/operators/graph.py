@@ -176,19 +176,16 @@ def pagerank_fixed_point(
     return r
 
 
-def pagerank_sql(
+def _pagerank_sql_parts(
     edges_rel: str,
-    iterations: int = 5,
-    unit: int = UNIT,
-    damping_ppm: int = DAMPING_PPM,
-    seeds_sql: str | None = None,
-) -> str:
-    """DuckDB twin of pagerank_fixed_point over an edge relation (src,
-    dst) — the 5 synchronous updates unrolled as chained CTEs (explicit
-    and engine-portable; recursive-CTE grouping restrictions vary).
-    Integer ops only => bit-identical to the Spark result.  With
-    ``seeds_sql`` (selects `node`), the personalized variant: teleport
-    flag t restricts both the start vector and the base term."""
+    iterations: int,
+    unit: int,
+    damping_ppm: int,
+    seeds_sql: str | None,
+) -> list[str]:
+    """Shared CTE chain for the unrolled PageRank twins: e / outdeg /
+    nodes / i0..i{iterations}.  pagerank_sql selects the last level;
+    pagerank_tol_sql appends delta CTEs and selects the converged one."""
     base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
     # AS MATERIALIZED: e/nodes are referenced once per unrolled level
     # and DuckDB inlines plain CTEs per reference (re-scanning the
@@ -226,9 +223,72 @@ def pagerank_sql(
     FROM e JOIN i{k - 1} p ON p.node = e.src
            JOIN outdeg d ON d.src = e.src) c ON c.node = n.node
   GROUP BY n.node, n.t)""")
+    return parts
+
+
+def pagerank_sql(
+    edges_rel: str,
+    iterations: int = 5,
+    unit: int = UNIT,
+    damping_ppm: int = DAMPING_PPM,
+    seeds_sql: str | None = None,
+) -> str:
+    """DuckDB twin of pagerank_fixed_point over an edge relation (src,
+    dst) — the 5 synchronous updates unrolled as chained CTEs (explicit
+    and engine-portable; recursive-CTE grouping restrictions vary).
+    Integer ops only => bit-identical to the Spark result.  With
+    ``seeds_sql`` (selects `node`), the personalized variant: teleport
+    flag t restricts both the start vector and the base term."""
+    parts = _pagerank_sql_parts(
+        edges_rel, iterations, unit, damping_ppm, seeds_sql
+    )
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT node, r AS rank_fp FROM i{iterations}"
+    )
+
+
+def pagerank_tol_sql(
+    edges_rel: str,
+    max_iterations: int = 8,
+    tol_fp: int = 0,
+    unit: int = UNIT,
+    damping_ppm: int = DAMPING_PPM,
+) -> str:
+    """DuckDB twin of the TOL-TERMINATED pagerank_fixed_point: unroll
+    ``max_iterations`` levels, compute the exact integer L1 delta at
+    every level, and select the ranks of the FIRST level whose delta is
+    <= ``tol_fp`` (the cap level if none converges) — i.e. the oracle
+    re-derives the stop iteration from the same rule instead of being
+    told it.  Emits (node, rank_fp, iterations_run, final_delta_fp);
+    the constant columns make the early exit part of the hash-audited
+    record.  SUM(ABS(..)) is HUGEINT in DuckDB — cast back to BIGINT to
+    match Spark's long."""
+    parts = _pagerank_sql_parts(
+        edges_rel, max_iterations, unit, damping_ppm, None
+    )
+    deltas = " UNION ALL ".join(
+        f"SELECT {k} AS it, (SELECT CAST(SUM(ABS(a.r - b.r)) AS BIGINT) "
+        f"FROM i{k} a JOIN i{k - 1} b ON a.node = b.node) AS d"
+        for k in range(1, max_iterations + 1)
+    )
+    parts.append(f"deltas AS ({deltas})")
+    parts.append(
+        f"chosen AS (SELECT CAST(COALESCE("
+        f"(SELECT MIN(it) FROM deltas WHERE d <= {tol_fp}),"
+        f" {max_iterations}) AS INTEGER) AS it)"
+    )
+    steps = " UNION ALL ".join(
+        f"SELECT {k} AS it, node, r FROM i{k}"
+        for k in range(1, max_iterations + 1)
+    )
+    parts.append(f"steps AS ({steps})")
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT s.node, s.r AS rank_fp, c.it AS iterations_run,
+       (SELECT d FROM deltas WHERE deltas.it = c.it) AS final_delta_fp
+FROM steps s JOIN chosen c ON s.it = c.it"""
     )
 
 
@@ -1025,8 +1085,17 @@ def betweenness_sampled(
             levels[-1].select("root", "node", F.lit(0.0).alias("delta"))
         )
     if not delta_frames:
+        # node type follows the input graph (string KG ids, long bench
+        # ids, ...) — a hardcoded string schema would mistype the
+        # degenerate no-level-1 result for integer-keyed graphs
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
         out = frontier.sparkSession.createDataFrame(
-            [], "node string, betweenness double"
+            [],
+            StructType([
+                StructField("node", frontier.schema["node"].dataType, True),
+                StructField("betweenness", DoubleType(), True),
+            ]),
         )
         out.betweenness_cache = _CacheHandle(e, visited, *levels)
         return out

@@ -1929,28 +1929,23 @@ WHERE content LIKE '%CORRUPT%'
 """
 
 
-def kg_triples_ann(spark, sf_dir):
-    """IVF linking at the reference's nlist=100/nprobe=32: mention probe
-    cells and entity cell assignments are staged, and the oracle replays
-    the probe-masked exact top-1 in SQL — checking that nprobe pruning
-    changes results exactly the way the IVF contract says it should."""
+def _kg_ann_staged(spark, cfg, nprobe=32, nlist=100):
+    """Shared staging for the IVF-linking entries (kg_triples_ann,
+    kg_ann_recall): mention probe cells + entity cell assignments at the
+    reference's nlist/nprobe, staged under deterministic names so either
+    entry's oracle can replay the probe-masked search from the same
+    bytes.  Returns (staged_mentions, staged_entities, ents_pdf,
+    centroids)."""
     import numpy as np
-    import pandas as pd
 
-    from ..operators.ann import (
-        add_probes,
-        link_ivf_broadcast,
-        train_centroids,
-    )
+    from ..operators.ann import add_probes, train_centroids
     from ..operators.link import _entity_arrays
-    from .pipeline import triples_from_links
 
-    cfg = PipelineConfig()
     mentions, _, ents_pdf, _ = _kg_mentions(spark, cfg)
     eids, emat = _entity_arrays(ents_pdf)
-    centroids = train_centroids(emat, nlist=100, seed=cfg.seed)
+    centroids = train_centroids(emat, nlist=nlist, seed=cfg.seed)
     staged_m = _stage(
-        add_probes(mentions, centroids, nprobe=32), "kg_mentions_probes"
+        add_probes(mentions, centroids, nprobe=nprobe), "kg_mentions_probes"
     )
     assign = np.argmax(emat @ centroids.T, axis=1)
     # Python-native cells ONLY: Arrow-less sessions (the external driver's)
@@ -1967,6 +1962,19 @@ def kg_triples_ann(spark, sf_dir):
         ),
         "kg_entities_cells",
     )
+    return staged_m, staged_e, ents_pdf, centroids
+
+
+def kg_triples_ann(spark, sf_dir):
+    """IVF linking at the reference's nlist=100/nprobe=32: mention probe
+    cells and entity cell assignments are staged, and the oracle replays
+    the probe-masked exact top-1 in SQL — checking that nprobe pruning
+    changes results exactly the way the IVF contract says it should."""
+    from ..operators.ann import link_ivf_broadcast
+    from .pipeline import triples_from_links
+
+    cfg = PipelineConfig()
+    staged_m, staged_e, ents_pdf, centroids = _kg_ann_staged(spark, cfg)
     links = link_ivf_broadcast(
         staged_m.drop("probes"), ents_pdf, centroids,
         k=cfg.k, tau=-1.0, nprobe=32,
@@ -1992,6 +2000,230 @@ ranked AS (
               ORDER BY score DESC, entity_id ASC) AS rn
   FROM scored)
 {_KG_TRIPLE_SELECT}
+"""
+
+
+def kg_ann_recall(spark, sf_dir):
+    """The BASELINE headline metric (triple P/R >= 0.95 vs the exact
+    oracle at the reference's nlist=100/nprobe=32 — query-index.py:30,111)
+    as a DRIVER-AUDITED number: link the staged mentions at nprobe<nlist
+    (the pruned production search) AND at nprobe=nlist (exhaustive ==
+    exact), count rank-1 agreement and above-tau emission, and emit the
+    precision/recall as micro-unit integers.  The oracle re-derives BOTH
+    searches from the staged probe cells + entity cells (the KG_ANN_SQL
+    device), so the P/R number in CORRECTNESS_r{{N}}.json is computed
+    independently by two engines from the same bytes — not self-reported.
+
+    Integer outputs only: p/r_times_1e6 = (10^6 * correct) div emitted —
+    bit-exact, no float hash risk.  Scores for the tau threshold use the
+    sequential-fold dot (_seqdot_rescore) both engines agree on."""
+    from ..operators.ann import link_ivf_broadcast
+
+    cfg = PipelineConfig()
+    staged_m, staged_e, ents_pdf, centroids = _kg_ann_staged(spark, cfg)
+    m = staged_m.drop("probes")
+
+    def top1(nprobe):
+        links = link_ivf_broadcast(
+            m, ents_pdf, centroids, k=1, tau=-1.0, nprobe=nprobe
+        )
+        return _seqdot_rescore(links, m, staged_e, tau=-1.0).select(
+            "doc_id", "span_idx", "entity_id", "score"
+        )
+
+    pruned = top1(32)
+    exact = top1(len(centroids))  # nprobe = nlist: exhaustive == exact
+    joined = pruned.alias("p").join(
+        exact.alias("x"), ["doc_id", "span_idx"]
+    ).select(
+        (F.col("p.entity_id") == F.col("x.entity_id")).alias("agree"),
+        (F.col("p.score") >= cfg.tau).alias("p_emit"),
+        (F.col("x.score") >= cfg.tau).alias("x_emit"),
+    )
+    c = joined.agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum(F.col("agree").cast("long")).alias("n_rank1_agree"),
+        F.sum(F.col("p_emit").cast("long")).alias("n_emitted"),
+        F.sum(F.col("x_emit").cast("long")).alias("n_exact_emitted"),
+        F.sum((F.col("agree") & F.col("p_emit")).cast("long")).alias(
+            "n_correct"
+        ),
+    )
+    return c.select(
+        "n_mentions", "n_rank1_agree", "n_emitted", "n_exact_emitted",
+        "n_correct",
+        F.expr("(1000000 * n_correct) div n_emitted").alias("p_times_1e6"),
+        F.expr("(1000000 * n_correct) div n_exact_emitted").alias(
+            "r_times_1e6"
+        ),
+    )
+
+
+KG_ANN_RECALL_SQL = f"""
+WITH m AS (SELECT * FROM {_staged_sql('kg_mentions_probes')}),
+     e AS (SELECT * FROM {_staged_sql('kg_entities_cells')}),
+scored AS (
+  SELECT m.doc_id, m.span_idx, e.entity_id, e.cell, m.probes,
+         list_dot_product(CAST(m.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS score
+  FROM m, e),
+pruned AS (
+  SELECT doc_id, span_idx, entity_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, span_idx
+                ORDER BY score DESC, entity_id ASC) AS rn
+    FROM scored WHERE list_contains(probes, cell))
+  WHERE rn = 1),
+exact AS (
+  SELECT doc_id, span_idx, entity_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, span_idx
+                ORDER BY score DESC, entity_id ASC) AS rn
+    FROM scored)
+  WHERE rn = 1),
+counts AS (
+  SELECT COUNT(*) AS n_mentions,
+         CAST(SUM(CASE WHEN p.entity_id = x.entity_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rank1_agree,
+         CAST(SUM(CASE WHEN p.score >= 0.4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_emitted,
+         CAST(SUM(CASE WHEN x.score >= 0.4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_emitted,
+         CAST(SUM(CASE WHEN p.entity_id = x.entity_id AND p.score >= 0.4
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM pruned p JOIN exact x USING (doc_id, span_idx))
+SELECT n_mentions, n_rank1_agree, n_emitted, n_exact_emitted, n_correct,
+       (1000000 * n_correct) // n_emitted AS p_times_1e6,
+       (1000000 * n_correct) // n_exact_emitted AS r_times_1e6
+FROM counts
+"""
+
+
+def kg_pagerank_tol(spark, sf_dir):
+    """Tolerance-terminated PageRank as a driver entry: the tol loop
+    (operators/graph.py pagerank_fixed_point tol_fp path) runs to the
+    EXACT integer fixed point (tol_fp=0) under a cap of 8, and emits
+    (node, rank_fp, iterations_run, final_delta_fp).  On the KG's
+    doc->entity graph the fixed point is reached at iteration 3 (docs
+    have no in-edges, so contributions freeze after two updates) — the
+    early exit genuinely fires, iterations_run < cap, and the DuckDB
+    twin re-derives the stop iteration from the unrolled per-level
+    deltas instead of being told it (pagerank_tol_sql)."""
+    from ..operators.graph import pagerank_fixed_point
+
+    edges = _kg_edges(spark, sf_dir)
+    stats: dict = {}
+    r = pagerank_fixed_point(edges, iterations=8, tol_fp=0, stats=stats)
+    out = _stage(
+        r.select(
+            "node",
+            "rank_fp",
+            F.lit(int(stats["iterations"])).cast("int").alias(
+                "iterations_run"
+            ),
+            F.lit(int(stats["final_delta_fp"])).cast("long").alias(
+                "final_delta_fp"
+            ),
+        ),
+        "kg_pr_tol_ranks",
+    )
+    r.pagerank_cache.unpersist()
+    return out
+
+
+def _kg_pagerank_tol_sql() -> str:
+    from ..operators.graph import pagerank_tol_sql
+
+    return pagerank_tol_sql(
+        _staged_sql("kg_graph_edges"), max_iterations=8, tol_fp=0
+    )
+
+
+def knn_incremental_index(spark, sf_dir):
+    """Incremental index maintenance end-to-end (operators/ann.py
+    index_append): build a base IVF store, append a delta batch against
+    the FROZEN centroids (idempotent dynamic-partition publish), then
+    search base ∪ delta at nprobe=nlist — which must equal the exact
+    brute-force top-k over ALL vectors, appended ones included.  The
+    oracle replays the brute-force search from the staged entity/query
+    embeddings; agreement proves the delta is both searchable and
+    complete (a dropped or duplicated delta partition flips rows).
+    Queries are the driver's embeddings table; entity vectors are the
+    deterministic pseudo-encoder family."""
+    import shutil
+
+    import numpy as np
+
+    from ..fixtures.generate import make_entities
+    from ..operators.ann import (
+        index_append,
+        link_ivf_broadcast,
+        load_index_df,
+        save_index,
+        train_centroids,
+    )
+
+    ents = make_entities(240)
+    base_pdf, new_pdf = ents.iloc[:180], ents.iloc[180:]
+    centroids = train_centroids(
+        np.stack(base_pdf["embedding"].to_numpy()), nlist=16, seed=42
+    )
+    store_dir = f"{_STAGE_DIR}/knn_inc_store"
+    shutil.rmtree(store_dir, ignore_errors=True)  # deterministic rebuild
+    save_index(spark, store_dir, base_pdf, centroids)
+    new_df = spark.createDataFrame(
+        [
+            (str(i), [float(x) for x in v])
+            for i, v in zip(new_pdf["entity_id"], new_pdf["embedding"])
+        ],
+        "entity_id string, embedding array<float>",
+    )
+    index_append(spark, store_dir, new_df, batch_id=1)
+    live, cents = load_index_df(spark, store_dir)
+    staged_ents = _stage(
+        live.orderBy("entity_id"), "knn_inc_entities"
+    )
+    q = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    queries = _stage(
+        q.select(F.col("vec_id").alias("probe_id"), "embedding"),
+        "knn_inc_queries",
+    )
+    links = link_ivf_broadcast(
+        queries, staged_ents.toPandas(), cents, k=5, tau=-1e9, nprobe=16
+    )
+    # sequential-fold rescore (the _seqdot_rescore device): GEMM selects,
+    # the engine-agreed dot scores — rank itself is not emitted (the
+    # knn_ivf_exhaustive precedent: membership + score are the contract)
+    rescored = (
+        links.drop("score")
+        .join(
+            staged_ents.select("entity_id", F.col("embedding").alias("_ee")),
+            "entity_id",
+        )
+        .join(
+            queries.select(
+                "probe_id", F.col("embedding").alias("_qe")
+            ),
+            "probe_id",
+        )
+        .withColumn("score", cosine_expr("_qe", "_ee"))
+    )
+    return rescored.select(
+        "probe_id", "entity_id", F.round("score", 4).alias("score")
+    )
+
+
+KNN_INC_SQL = f"""
+SELECT probe_id, entity_id, ROUND(score, 4) AS score FROM (
+  SELECT q.probe_id, e.entity_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS score,
+         ROW_NUMBER() OVER (PARTITION BY q.probe_id
+                            ORDER BY list_dot_product(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) DESC,
+                            e.entity_id ASC) AS rn
+  FROM {_staged_sql('knn_inc_queries')} q,
+       {_staged_sql('knn_inc_entities')} e)
+WHERE rn <= 5
 """
 
 
@@ -3566,117 +3798,50 @@ def _bitemporal_orders_sql() -> str:
 # ---------------------------------------------------------------------------
 
 # NOTE on ordering: the external driver evaluates only the FIRST 50
-# entries of this dict.  The flagship kg_* / curate / media entries
-# therefore sit up front; four redundant relational variants whose
-# categories are already covered by other hash-green entries
-# (set-ops by union/except→intersect, HAVING by agg entries, scalar
-# subqueries by q3/q5 joins) are demoted past position 50 — they stay
-# runnable via tools/check_contract.py --all.
-# Registry ordering = the external driver's audit window: it evaluates the
-# FIRST 50 entries each round; the tail is only checked locally
+# entries of this dict each round; the tail is only checked locally
 # (tools/check_contract.py runs ALL entries, Arrow-off, strict floats).
-# ROTATION POLICY (round-4 onward): entries past the window MUST have a
-# driver CORRECTNESS row from the immediately previous round, and swap
-# back into the window the round after — so every entry is externally
-# audited at least every other round.  ROUND 5: the 26 round-4-tail
-# entries rotate IN (positions 25-50), the THIRTEEN NEW entries
-# (kg_components, kg_communities, kg_closeness, kg_link_prediction,
-# doc_semantic_dedup, doc_setsim_pairs, corpus_chunk_windows,
-# events_funnel, events_retention, docs_weighted_sample,
-# hll_small_range_users, knn_rrf_fusion, doc_pmi_collocations) enter
-# in-window, every module whose EXISTING functions were edited this
-# round keeps its entries in-window (graph.py -> kg_pagerank/
-# kg_khop_reach, sketch.py -> cms_join_size_orders, dedup.py ->
-# doc_incremental_neardup + embedding_neardup_cosine; sketch.py's and
-# corpus.py's OTHER round-5 diffs are pure function APPENDS — the
-# functions behind their tail entries are byte-identical to the r4
-# greens, verifiable from git diff).  SESSION 3 adds kg_scc,
-# kg_harmonic, kg_betweenness (new entries always enter in-window) and
-# demotes doc_exact_dedup / minhash_dedup_pairs / simhash_dedup_pairs
-# to the tail: all three were driver-green in CORRECTNESS_r04 and the
-# functions behind them (exact_dedup, minhash_*, simhash_*) are
-# BYTE-IDENTICAL since — dedup.py's round-5 diff is a 4-line guard
-# inside incremental_lsh_pairs plus pure appends after
-# embedding_neardup_pairs (git diff 6114271..HEAD), so the demotion
-# criterion is the same "code untouched since its driver-green row"
-# used for the 39 entries below, applied at function granularity with
-# the diff as evidence.  The 39 demoted entries below
-# the window line (incl. q1_pricing_summary, kg_triples_ann,
-# kg_canonical_triples, knn_ivf_exhaustive, events_asof_join,
-# media_decode_stats, curate_training_corpus, events_sessionization,
-# kg_span_roundtrip, kg_skips_quarantine — ann.py/asof.py/media.py/
-# curate.py/pipeline.py and the demoted entries' contract functions
-# untouched this round) were ALL driver-green in CORRECTNESS_r04 with
-# their code untouched since.  (kg_triples_exact stays in-window as
-# the triple-pipeline witness; the graph-family staged edges derive
-# from it every round regardless.)
-# Round 6 must rotate that 42-entry tail back in (two rounds' worth of
-# window churn: plan for ~8 r5-green in-window entries to hold over).
-# SESSION 4 exception to "new entries enter in-window": the nine
-# session-4 entries (kg_condensation, kg_shortest_paths, kg_hyperball,
-# kg_kcore, kg_comention, kg_negative_samples, orders_overlap_pairs,
-# orders_interval_islands, bitemporal_orders_snapshot) land at the TOP
-# OF THE TAIL (positions 51-59) — the window is at capacity with
-# entries that MUST hold their slot (1-24 are this round's new/edited
-# entries with no prior driver row; 25-50 are the rotated-in r4 tail
-# whose last driver row is r3, owed an audit THIS round).  All nine
-# are strict-checked locally (Arrow-off, repr floats, sf0.01 +
-# sf0.001) and are MANDATORY round-6 window entrants along with the
-# rest of the tail.
+# ROTATION POLICY (amended round 6): the registry outgrew the window —
+# 104 entries cannot all be driver-audited every other round through a
+# 50-slot window (104/50 ≈ 2.1), so the honest guarantee is now: every
+# entry gets a driver CORRECTNESS row at least every THIRD round, the
+# never-audited and oldest-audited entries enter first, and any entry
+# whose backing code changed since its last driver row re-enters
+# immediately (function granularity, git diff as evidence).
+#
+# ROUND-6 WINDOW ACCOUNTING (owed: 42 r4-greens demoted in r5 + the 9
+# session-4 entries with no driver row ever = 51, vs 50 slots):
+#   positions 1-9   the nine never-audited session-4 entries (mandatory
+#                   per the r5 verdict);
+#   positions 10-12 the three NEW round-6 entries (kg_ann_recall,
+#                   kg_pagerank_tol, knn_incremental_index — the r5
+#                   verdict's items 5-7; new entries always enter
+#                   in-window);
+#   position 13     kg_betweenness — r5-green, but betweenness_sampled
+#                   was edited this round (empty-fallback schema fix per
+#                   ADVICE), so it re-enters under the touched-code rule;
+#   positions 14-50 thirty-seven of the 42 owed r4-greens.
+# FIVE owed entries slip to round 7 (positions 51-55, MANDATORY r7
+# entrants): intersect_nations, scalar_subquery_above_avg,
+# having_big_customers, agg_nations_per_region, window_running_total.
+# Slip criterion, per entry: driver-green in CORRECTNESS_r04, backing
+# contract function + SQL twin byte-identical since (git diff
+# 929b8b7..HEAD touches none of them), and each one's category keeps an
+# in-window or r5-green witness (set ops: except_customer_only_nations
+# in-window + union_dedup r5; scalar subquery: q3/q5 join entries;
+# HAVING + plain agg: rollup/date/case agg entries; running-total
+# window: window_topk + events_lag_gap r5).  The arithmetic is 4 deeper
+# than the r5 verdict's "one slip" plan because that same verdict's
+# items 5-7 mandated three new in-window entries and the ADVICE fix
+# touched kg_betweenness — documented here rather than silently bumped.
+# kg_pagerank / kg_personalized_pagerank stay demoted despite this
+# round's pagerank_sql refactor: the generated oracle SQL is verified
+# BYTE-IDENTICAL across the refactor (tools/check_rotation.py re-checks
+# the policy mechanically every pytest run) and pagerank_fixed_point is
+# untouched.
+# Positions 56-104: the 49 remaining r5-greens (CORRECTNESS_r05 rows,
+# code untouched since unless noted above) — they rotate back in round 7
+# behind the five slipped entries.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "kg_triples_exact": kg_triples_exact,
-    "kg_pagerank": kg_pagerank,
-    "kg_khop_reach": kg_khop_reach,
-    "kg_triangles": kg_triangles,
-    "kg_personalized_pagerank": kg_personalized_pagerank,
-    "kg_components": kg_components,
-    "kg_communities": kg_communities,
-    "kg_closeness": kg_closeness,
-    "kg_harmonic": kg_harmonic,
-    "kg_betweenness": kg_betweenness,
-    "kg_scc": kg_scc,
-    "kg_link_prediction": kg_link_prediction,
-    "doc_semantic_dedup": doc_semantic_dedup,
-    "doc_setsim_pairs": doc_setsim_pairs,
-    "corpus_chunk_windows": corpus_chunk_windows,
-    "events_funnel": events_funnel,
-    "events_retention": events_retention,
-    "docs_weighted_sample": docs_weighted_sample,
-    "hll_small_range_users": hll_small_range_users,
-    "knn_rrf_fusion": knn_rrf_fusion,
-    "doc_pmi_collocations": doc_pmi_collocations,
-    "cms_join_size_orders": cms_join_size_orders,
-    "doc_incremental_neardup": doc_incremental_neardup,
-    "embedding_neardup_cosine": embedding_neardup_cosine,
-    # rotated IN this round (the round-4 tail, all r03-green):
-    "filter_project_pushdown": filter_project_pushdown,
-    "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
-    "q5_region_revenue": q5_region_revenue,
-    "knn_bruteforce_cosine": knn_bruteforce_cosine,
-    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
-    "doc_fingerprint_dedup": doc_fingerprint_dedup,
-    "doc_lang_id": doc_lang_id,
-    "doc_quality_composite": doc_quality_composite,
-    "doc_pii_scrub": doc_pii_scrub,
-    "doc_contamination_probes": doc_contamination_probes,
-    "doc_winnow_neardup": doc_winnow_neardup,
-    "doc_tfidf_keywords": doc_tfidf_keywords,
-    "join_broadcast_dims": join_broadcast_dims,
-    "semi_join_customers_with_orders": semi_join_customers_with_orders,
-    "anti_join_customers_without_orders": anti_join_customers_without_orders,
-    "window_topk_orders_per_cust": window_topk_orders_per_cust,
-    "union_dedup_nationkeys": union_dedup_nationkeys,
-    "rollup_lineitem_flags": rollup_lineitem_flags,
-    "date_funcs_orders_monthly": date_funcs_orders_monthly,
-    "events_user_activity": events_user_activity,
-    "events_lag_gap": events_lag_gap,
-    "events_json_extract": events_json_extract,
-    "range_join_ship_lag": range_join_ship_lag,
-    "doc_quality_score": doc_quality_score,
-    "doc_bpe_token_stats": doc_bpe_token_stats,
-    "embedding_norm_stats": embedding_norm_stats,
-    # ---- past the driver's 50-entry window: ALL driver-green in
-    # CORRECTNESS_r04, code untouched since; rotate back in round 6 ----
     "kg_condensation": kg_condensation,
     "kg_shortest_paths": kg_shortest_paths,
     "kg_hyperball": kg_hyperball,
@@ -3686,6 +3851,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_overlap_pairs": orders_overlap_pairs,
     "orders_interval_islands": orders_interval_islands,
     "bitemporal_orders_snapshot": bitemporal_orders_snapshot,
+    "kg_ann_recall": kg_ann_recall,
+    "kg_pagerank_tol": kg_pagerank_tol,
+    "knn_incremental_index": knn_incremental_index,
+    "kg_betweenness": kg_betweenness,
     "doc_exact_dedup": doc_exact_dedup,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -3728,6 +3897,55 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "having_big_customers": having_big_customers,
     "agg_nations_per_region": agg_nations_per_region,
     "window_running_total": window_running_total,
+    "kg_triples_exact": kg_triples_exact,
+    "kg_pagerank": kg_pagerank,
+    "kg_khop_reach": kg_khop_reach,
+    "kg_triangles": kg_triangles,
+    "kg_personalized_pagerank": kg_personalized_pagerank,
+    "kg_components": kg_components,
+    "kg_communities": kg_communities,
+    "kg_closeness": kg_closeness,
+    "kg_harmonic": kg_harmonic,
+    "kg_scc": kg_scc,
+    "kg_link_prediction": kg_link_prediction,
+    "doc_semantic_dedup": doc_semantic_dedup,
+    "doc_setsim_pairs": doc_setsim_pairs,
+    "corpus_chunk_windows": corpus_chunk_windows,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "docs_weighted_sample": docs_weighted_sample,
+    "hll_small_range_users": hll_small_range_users,
+    "knn_rrf_fusion": knn_rrf_fusion,
+    "doc_pmi_collocations": doc_pmi_collocations,
+    "cms_join_size_orders": cms_join_size_orders,
+    "doc_incremental_neardup": doc_incremental_neardup,
+    "embedding_neardup_cosine": embedding_neardup_cosine,
+    "filter_project_pushdown": filter_project_pushdown,
+    "q3_top_unshipped_revenue": q3_top_unshipped_revenue,
+    "q5_region_revenue": q5_region_revenue,
+    "knn_bruteforce_cosine": knn_bruteforce_cosine,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_fingerprint_dedup": doc_fingerprint_dedup,
+    "doc_lang_id": doc_lang_id,
+    "doc_quality_composite": doc_quality_composite,
+    "doc_pii_scrub": doc_pii_scrub,
+    "doc_contamination_probes": doc_contamination_probes,
+    "doc_winnow_neardup": doc_winnow_neardup,
+    "doc_tfidf_keywords": doc_tfidf_keywords,
+    "join_broadcast_dims": join_broadcast_dims,
+    "semi_join_customers_with_orders": semi_join_customers_with_orders,
+    "anti_join_customers_without_orders": anti_join_customers_without_orders,
+    "window_topk_orders_per_cust": window_topk_orders_per_cust,
+    "union_dedup_nationkeys": union_dedup_nationkeys,
+    "rollup_lineitem_flags": rollup_lineitem_flags,
+    "date_funcs_orders_monthly": date_funcs_orders_monthly,
+    "events_user_activity": events_user_activity,
+    "events_lag_gap": events_lag_gap,
+    "events_json_extract": events_json_extract,
+    "range_join_ship_lag": range_join_ship_lag,
+    "doc_quality_score": doc_quality_score,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -3832,6 +4050,9 @@ ORACLES: dict[str, str] = {
     "events_retention": _retention_sql(),
     "docs_weighted_sample": _wsample_sql(),
     "hll_small_range_users": _hll_small_sql(),
+    "kg_ann_recall": KG_ANN_RECALL_SQL,
+    "kg_pagerank_tol": _kg_pagerank_tol_sql(),
+    "knn_incremental_index": KNN_INC_SQL,
     # Every QUERIES entry now has a DuckDB twin.  The staged-parquet
     # oracles are written by the Spark query, then DuckDB re-derives the
     # result from the same bytes (Spark must run first per entry — both

@@ -209,3 +209,104 @@ def test_centroids_deterministic():
     a = train_centroids(X, nlist=20)
     b = train_centroids(X, nlist=20)
     assert np.array_equal(a, b)
+
+
+def _spark_entities(spark, pdf):
+    return spark.createDataFrame(
+        [
+            (str(i), [float(x) for x in v])
+            for i, v in zip(pdf["entity_id"], pdf["embedding"])
+        ],
+        "entity_id string, embedding array<float>",
+    )
+
+
+def test_index_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental index maintenance (the reference's monolithic-rebuild
+    gap, build-index.py:68-109): appending new vectors against FROZEN
+    centroids must produce search results IDENTICAL to a full rebuild on
+    the same centroids at nprobe=nlist, and replaying a batch must be a
+    no-op (idempotent delta publish)."""
+    import numpy as np
+
+    from cli_p_spark.fixtures.generate import make_entities
+    from cli_p_spark.operators.ann import (
+        index_append,
+        link_ivf_broadcast,
+        load_index_df,
+        save_index,
+        train_centroids,
+    )
+
+    ents = make_entities(200)
+    base_pdf, new_pdf = ents.iloc[:160], ents.iloc[160:]
+    centroids = train_centroids(
+        np.stack(base_pdf["embedding"].to_numpy()), nlist=16
+    )
+    idx = str(tmp_path / "idx")
+    save_index(spark, idx, base_pdf, centroids)
+    stats = index_append(
+        spark, idx, _spark_entities(spark, new_pdf), batch_id=1
+    )
+    assert stats["n_total"] == 200
+
+    # full rebuild on the SAME frozen centroids, separate store
+    idx_full = str(tmp_path / "idx_full")
+    save_index(spark, idx_full, ents, centroids)
+
+    probes = spark.createDataFrame(
+        [
+            (str(i), [float(x) for x in v])
+            for i, v in enumerate(ents["embedding"].iloc[5:25])
+        ],
+        "probe_id string, embedding array<float>",
+    )
+    key = ["probe_id", "rank", "entity_id"]
+
+    def search(store_dir):
+        live, c = load_index_df(spark, store_dir)
+        out = link_ivf_broadcast(
+            probes, live.toPandas(), c, k=3, tau=-1.0, nprobe=16
+        )
+        return sorted(map(tuple, out.select(*key).collect()))
+
+    assert search(idx) == search(idx_full)
+    # the appended entities are actually searchable (not just counted)
+    hit_ids = {r[2] for r in search(idx)}
+    assert hit_ids & set(new_pdf["entity_id"])
+
+    # replay the same batch: idempotent (partition overwrite, no dupes)
+    index_append(spark, idx, _spark_entities(spark, new_pdf), batch_id=1)
+    live, _ = load_index_df(spark, idx)
+    assert live.count() == 200
+    assert search(idx) == search(idx_full)
+
+
+def test_index_append_drift_gate(spark, tmp_path):
+    """Staleness gate: a skewed append (every new vector lands in one
+    cell) must trip needs_retrain once max-cell drift exceeds the
+    factor."""
+    import numpy as np
+
+    from cli_p_spark.fixtures.generate import make_entities
+    from cli_p_spark.operators.ann import (
+        index_append,
+        save_index,
+        train_centroids,
+    )
+
+    ents = make_entities(160)
+    centroids = train_centroids(
+        np.stack(ents["embedding"].to_numpy()), nlist=16
+    )
+    idx = str(tmp_path / "idx")
+    save_index(spark, idx, ents, centroids)
+    # 200 copies of one existing vector -> one hot cell
+    hot = [float(x) for x in ents["embedding"].iloc[0]]
+    skewed = spark.createDataFrame(
+        [(f"hot{i:05d}", hot) for i in range(200)],
+        "entity_id string, embedding array<float>",
+    )
+    stats = index_append(spark, idx, skewed, batch_id=2, retrain_factor=2.0)
+    assert stats["needs_retrain"] is True
+    assert stats["max_cell"] >= 200
