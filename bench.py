@@ -848,7 +848,20 @@ def main():
             except Exception as e:  # timeout, parse, spawn
                 return {"error": f"{type(e).__name__}: {e}"[:300]}
 
+        # pre-gate (round-6): an attempt launched into visible neighbor
+        # load is a wasted 100+ s subprocess — wait in bounded slices
+        # for the probe to read clean first (same device as the scaling
+        # reps)
+        d512_waits = 0
         _noise_probe(spark)
+        while (
+            noise_samples[-1] > 1.3 * min(noise_samples)
+            and d512_waits < 3
+            and not _over_soft_budget()
+        ):
+            d512_waits += 1
+            time.sleep(40)
+            _noise_probe(spark)
         sub_runs = [_sub_attempt()]
         _noise_probe(spark)
         # one subprocess retry if the first looks contaminated (probe
@@ -886,6 +899,7 @@ def main():
             else ins.get("error", "?")
         )
         d["retry_reasons"] = retried
+        d["pre_waits"] = d512_waits
         if sub_best is None and "wall_s" in ins:
             # isolated runs all failed: fall back to the in-session wall
             d.update(ins)
@@ -1035,24 +1049,46 @@ def _run_scaling_reps(
     min-based ratio is plausible — the round-5 record's failure mode was
     exactly one contaminated, unretried lo rep standing as the
     measurement.  Per-attempt walls + probe brackets all land in the
-    record."""
+    record.
+
+    Round-6 hardening (the r6 local run's failure mode: two probe-DIRTY
+    lo reps at ~500 s each burned 1191 s of the 1320 s budget and starved
+    every later stage): (a) each rep is PRE-gated — when the probe
+    already reads dirty, the loop WAITS in bounded ~40 s slices for a
+    clean window instead of launching a ~500 s doomed lo run (a wait
+    costs 8% of a wasted rep); (b) reps past the first are cost-gated on
+    the PREVIOUS pair's measured wall, so a degraded-VM rep cannot start
+    unless it fits the stage budget; (c) if the machine still reads
+    dirty after the waits on a rep >= 1, the loop stops — further reps
+    are doomed by the same neighbor load, and the saved budget keeps the
+    graph/behavioral/link_join stages (skipped entirely in the burned
+    run) in the record."""
     corpus = _CORPUS_CACHE[SCALE_DOCS]
     stage_t0 = time.time()
     stage_budget = float(
         os.environ.get("SPARK_GRAFT_SCALING_STAGE_BUDGET", "700")
     )
+    clean_factor = float(
+        os.environ.get("SPARK_GRAFT_SCALE_PROBE_CLEAN", "1.25")
+    )
     attempts: list[dict] = []
     extra["scaling_attempts"] = attempts
     lo_clean_best: float | None = None
     reps_run = 0
+    last_pair_cost: float | None = None
     for rep in range(6):
         # budget guards: always run rep 0 (one lo+hi pair is the
         # minimum viable evidence); stop extra reps past the stage or
         # whole-bench budget so the JSON still prints before any
         # external harness timeout
+        stage_left = stage_budget - (time.time() - stage_t0)
         if rep >= 1 and (
-            time.time() - stage_t0 > stage_budget
+            stage_left <= 0
             or time.time() - _BENCH_T0 > BENCH_BUDGET_S
+            # cost gate: the NEXT pair costs about what the last one
+            # did; starting one that cannot fit is how the r6 local run
+            # overshot its 700 s stage budget to 1191 s
+            or (last_pair_cost is not None and last_pair_cost > stage_left)
         ):
             extra["scaling_budget_stop"] = {
                 "after_reps": reps_run,
@@ -1060,11 +1096,39 @@ def _run_scaling_reps(
                 "stage_budget_s": stage_budget,
                 "elapsed_s": round(time.time() - _BENCH_T0, 1),
                 "budget_s": BENCH_BUDGET_S,
+                "last_pair_cost_s": last_pair_cost,
             }
             break
         att: dict = {"rep": rep}
+        # pre-gate: wait (bounded) for a clean probe instead of feeding
+        # a ~500 s lo run to a visibly-loaded machine
+        floor = min(noise_samples)
+        waits = 0
         noise_probe(spark)
+        while (
+            noise_samples[-1] > clean_factor * min(noise_samples)
+            and waits < 3
+            and time.time() - stage_t0 < stage_budget
+        ):
+            waits += 1
+            time.sleep(40)
+            noise_probe(spark)
+        att["pre_waits"] = waits
         att["probe_before_lo"] = noise_samples[-1]
+        if (
+            rep >= 1
+            and noise_samples[-1] > clean_factor * min(noise_samples)
+        ):
+            # still dirty after the waits: further reps are doomed by
+            # the same neighbor load — stop and leave the budget to the
+            # remaining stages
+            extra["scaling_dirty_stop"] = {
+                "after_reps": reps_run,
+                "probe": noise_samples[-1],
+                "floor": min(noise_samples),
+            }
+            break
+        pair_t0 = time.time()
         for tag, cores in [("lo", SCALE_LO), ("hi", SCALE_HI)]:
             p = _spawn_scale_level(
                 cores, f"0-{cores - 1}", SCALE_DOCS, corpus
@@ -1076,13 +1140,11 @@ def _run_scaling_reps(
                 att["probe_after_lo"] = noise_samples[-1]
             if tag not in best or r["wall_s"] < best[tag]["wall_s"]:
                 best[tag] = r
+        last_pair_cost = time.time() - pair_t0
         floor = min(noise_samples)
         # 1.25x the idle floor per the r5 verdict; tunable because the
         # probe's RELATIVE jitter grows as sf shrinks (at sf0.01 the
         # 0.05 s probe is all jitter and the gate never reads clean)
-        clean_factor = float(
-            os.environ.get("SPARK_GRAFT_SCALE_PROBE_CLEAN", "1.25")
-        )
         att["lo_probe_clean"] = (
             max(att["probe_before_lo"], att["probe_after_lo"])
             <= clean_factor * floor
