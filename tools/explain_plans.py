@@ -52,6 +52,10 @@ def main():
         "docs_weighted_sample",
         "knn_rrf_fusion",
         "doc_pmi_collocations",
+        # round-6 entries (r5 verdict items 5-7)
+        "kg_ann_recall",
+        "kg_pagerank_tol",
+        "knn_incremental_index",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
