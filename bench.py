@@ -1314,8 +1314,12 @@ def _run_scaling_reps(
         # stop only on a PLAUSIBLE ratio from a probe-clean lo rep:
         # eff > ~1.05 means the lo best is still noise-inflated
         # (super-linear scaling of an identical job is not real), and a
-        # dirty-bracket lo best is exactly the round-5 failure mode
-        if rep >= 1 and 0.85 <= eff <= 1.05 and lo_clean_best is not None:
+        # dirty-bracket lo best is exactly the round-5 failure mode.
+        # Lower edge 0.82: aligned with the >=0.8 target (+margin) — at
+        # 0.85 a day whose genuine clean ratio is ~0.84 (run7) never
+        # stops, burns the stage budget on extra reps, and starves the
+        # graph/behavioral/link_join stages out of the record
+        if rep >= 1 and 0.82 <= eff <= 1.05 and lo_clean_best is not None:
             break
     # True when a clean-bracket rep exists and the recorded lo minimum
     # is at least as fast as that rep (noise only ever inflates a wall,
