@@ -2019,3 +2019,335 @@ FROM base b
 JOIN idx t0 ON t0.pos = b.i0
 JOIN idx t1 ON t1.pos = (b.i0 + 1) % b.n
 """
+
+
+# --- local clustering coefficients ------------------------------------
+
+
+def clustering_coefficients(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """(node, degree, n_tri, lcc_micro) for every node of the UNDIRECTED
+    simple graph underlying the edge list: per-node triangle counts and
+    the local clustering coefficient in integer micro-units —
+    ``lcc_micro = (2e6 * n_tri) div (degree * (degree - 1))`` (0 when
+    degree < 2).  "How clique-like is this entity's neighborhood" is the
+    per-node refinement of triangle_count's global census, and the
+    standard KG-curation signal for hub-vs-community entities (a low-LCC
+    high-degree node is a hub or a disambiguation page; a high-LCC node
+    sits inside a dense community).
+
+    Same degree-ordered orientation as triangle_count (Suri &
+    Vassilvitskii WWW'11) so per-vertex wedge fan is O(sqrt(m)) even on
+    hub graphs; triangles are materialized as (x, p, q) node triples
+    (inner join, not semi) and exploded so each triangle credits all
+    three corners.  Integer arithmetic only — integer truncating
+    division on both engines — so the result is bit-exact and
+    hash-checkable cross-engine.  Two shuffle joins + one groupBy;
+    reference scope: CLI-P stops at per-query similarity display
+    (query-index.py:78-84), graph diagnostics are the KG extension."""
+    u, v = F.col("_u"), F.col("_v")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
+        )
+        .filter(u != v)
+        .distinct()
+    )
+    deg = (
+        e.select(u.alias("_n"))
+        .unionByName(e.select(v.alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    du = deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv"))
+    keyed = e.join(du, "_u").join(dv, "_v")
+    lo_first = F.struct("_du", "_u") < F.struct("_dv", "_v")
+    oriented = keyed.select(
+        F.when(lo_first, u).otherwise(v).alias("_x"),
+        F.when(lo_first, v).otherwise(u).alias("_y"),
+        F.when(lo_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dy"),
+    ).persist()
+    a = oriented.select("_x", F.col("_y").alias("_p"),
+                        F.col("_dy").alias("_dp"))
+    b = oriented.select("_x", F.col("_y").alias("_q"),
+                        F.col("_dy").alias("_dq"))
+    wedges = a.join(b, "_x").filter(
+        F.struct("_dp", "_p") < F.struct("_dq", "_q")
+    )
+    closing = oriented.select(
+        F.col("_x").alias("_p"), F.col("_y").alias("_q")
+    )
+    tri = wedges.join(closing, ["_p", "_q"])  # rows are (x, p, q) triples
+    tri_nodes = (
+        tri.select(
+            F.explode(F.array("_x", "_p", "_q")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = (
+        deg.select(F.col("_n").alias("node"), F.col("_d").alias("degree"))
+        .join(tri_nodes, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        )
+        .withColumn(
+            "lcc_micro",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2000000 * n_tri) div (degree * (degree - 1))"
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    from .lsh import _CacheHandle
+
+    out.clustering_cache = _CacheHandle(oriented)
+    return out
+
+
+def clustering_sql(edges_rel: str) -> str:
+    """DuckDB twin of clustering_coefficients over an edge relation
+    (src, dst): same canonicalization, same (degree, node) orientation,
+    same triangle-triple explode; `//` is DuckDB's truncating integer
+    division = Spark's `div` on non-negative operands."""
+    return f"""
+WITH raw AS (SELECT src, dst FROM {edges_rel}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw WHERE src <> dst),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+oriented AS (
+  SELECT CASE WHEN (a.d, e.u) < (b.d, e.v) THEN e.u ELSE e.v END AS x,
+         CASE WHEN (a.d, e.u) < (b.d, e.v) THEN e.v ELSE e.u END AS y,
+         CASE WHEN (a.d, e.u) < (b.d, e.v) THEN b.d ELSE a.d END AS dy
+  FROM e JOIN deg a ON a.n = e.u JOIN deg b ON b.n = e.v),
+tri AS (
+  SELECT a.x AS x, a.y AS p, b.y AS q
+  FROM oriented a JOIN oriented b ON a.x = b.x
+  JOIN oriented c ON c.x = a.y AND c.y = b.y
+  WHERE (a.dy, a.y) < (b.dy, b.y)),
+tri_nodes AS (
+  SELECT corner AS node, COUNT(*) AS n_tri
+  FROM tri, UNNEST([x, p, q]) AS t(corner)
+  GROUP BY corner)
+SELECT deg.n AS node, deg.d AS degree,
+       COALESCE(tn.n_tri, 0) AS n_tri,
+       CASE WHEN deg.d >= 2
+            THEN (2000000 * COALESCE(tn.n_tri, 0)) // (deg.d * (deg.d - 1))
+            ELSE 0 END AS lcc_micro
+FROM deg LEFT JOIN tri_nodes tn ON tn.node = deg.n
+"""
+
+
+# --- bounded transitive closure (semi-naive) --------------------------
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_depth: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: str = "auto",
+) -> DataFrame:
+    """(src, dst, dist) for every pair reachable in <= ``max_depth``
+    directed hops, dist = MINIMUM hop count (a node on a cycle reaches
+    ITSELF: (s, s, cycle_len) rows appear for cyclic inputs; a DAG
+    yields none) — depth-bounded transitive closure, the Datalog
+    ancestor/subsumption query of KG reasoning
+    (subClassOf*/partOf* materialization).  The reference has no graph
+    layer at all (CLI-P stops at per-query display, query-index.py:78);
+    closure is the ontology-reasoning extension of the triple store.
+
+    Semi-naive evaluation: the per-round join runs on the DELTA (facts
+    first derived last round) only, never the full closure — round work
+    is |delta ⋈ edges|, and a fixpoint before ``max_depth`` exits early.
+    New facts are layered in BFS order, so each pair's recorded dist is
+    the minimum by construction (first derivation wins; later longer
+    derivations are anti-joined away).  Lineage is cut every round with
+    ccomp's checkpointer, same plan-depth discipline as khop/pagerank.
+
+    SCALE NOTE: unbounded closure output is O(n^2) on dense reachability
+    structures — the depth bound is the production control (bounded
+    inference), and on cyclic inputs the bound also guarantees
+    termination.  All-integer/string columns: bit-exact cross-engine."""
+    from .ccomp import _checkpointer
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
+        )
+        .filter(F.col("_es") != F.col("_ed"))
+        .distinct()
+        .persist()
+    )
+    known = e.select(
+        F.col("_es").alias("src"),
+        F.col("_ed").alias("dst"),
+        F.lit(1).alias("dist"),
+    ).persist()
+    delta = known.select("src", "dst")
+    for depth in range(2, max_depth + 1):
+        nxt = (
+            delta.join(e, delta["dst"] == e["_es"])
+            .select("src", F.col("_ed").alias("dst"))
+            .distinct()
+            .join(known.select("src", "dst"), ["src", "dst"], "anti")
+        )
+        nxt = _checkpointer(nxt, checkpoint)
+        if nxt.isEmpty():
+            break
+        old = known
+        known = old.unionByName(
+            nxt.select("src", "dst", F.lit(depth).alias("dist"))
+        ).persist()
+        known.count()  # materialize before dropping the parent cache
+        old.unpersist()
+        delta = nxt
+    from .lsh import _CacheHandle
+
+    known.closure_cache = _CacheHandle(e, known)
+    return known
+
+
+def closure_sql(edges_rel: str, max_depth: int = 8) -> str:
+    """DuckDB twin of transitive_closure: depth-carrying recursive CTE
+    (UNION dedups per (src, dst, d) so bounded recursion terminates even
+    through cycles), MIN(d) per pair = Spark's BFS-layer first-discovery
+    dist."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM {edges_rel} WHERE src <> dst),
+reach(src, dst, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT r.src, e.dst, r.d + 1
+  FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.d < {max_depth})
+SELECT src, dst, MIN(d) AS dist FROM reach GROUP BY src, dst
+"""
+
+
+# --- deterministic seeded random walks --------------------------------
+
+
+def walk_edge_keys(
+    edges: DataFrame,
+    length: int,
+    salt: str = "kgwalk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(step, src, dst, hkey) for steps 1..``length``: every directed
+    edge replicated per step with a seeded xxhash64 draw — the
+    pseudo-randomness source for random_walks, computed ENGINE-SIDE
+    (xxhash64 is a Spark builtin; no Python in the path) and stageable
+    so an oracle can replay the exact same draws.  Python's hash() is
+    process-seeded and banned (see NOTES gotchas); xxhash64(salt, step,
+    src, dst) is the deterministic family used by every sketch in this
+    repo."""
+    return (
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "step",
+            F.explode(F.sequence(F.lit(1), F.lit(int(length)))),
+        )
+        .withColumn(
+            "hkey", F.xxhash64(F.lit(salt), F.col("step"),
+                               F.col("src"), F.col("dst"))
+        )
+        .select("step", "src", "dst", "hkey")
+    )
+
+
+def random_walks(
+    keyed: DataFrame, seeds: DataFrame, length: int
+) -> DataFrame:
+    """(walk_id, step, node): one deterministic walk per seed over the
+    per-step hash draws of walk_edge_keys — step t moves from node u to
+    the out-neighbor minimizing (hkey, dst) among edges (t, u, *); a
+    dead end ends the walk.  Walks are the graph-embedding training-data
+    primitive (DeepWalk, Perozzi et al. KDD'14; node2vec) — the corpus a
+    100 TB KG feeds to its embedding trainer — made reproducible: the
+    draw is a pure function of (salt, step, edge), so any engine
+    replaying the same keys emits the SAME walks, and a resumed job
+    regenerates identical corpora.
+
+    Plan shape: ONE window shuffle precomputes the per-(step, src)
+    argmin next-hop table (row_number over (hkey, dst) — dst tiebreak
+    makes hash collisions deterministic too); the walk loop is
+    ``length`` tiny frontier joins against it (frontier size <= n_seeds,
+    broadcastable).  Next-hop table size <= |E| * length before the
+    argmin, |V| * length after — linear in the graph, never quadratic.
+
+    ``seeds``: one column ``node`` (walk_id = the seed node)."""
+    w = Window.partitionBy("step", "src").orderBy("hkey", "dst")
+    nexts = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("step", "src", "dst")
+        .persist()
+    )
+    state = seeds.select(
+        F.col("node").alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("node").alias("node"),
+    ).distinct()
+    visited = state.persist()
+    frontier = state
+    for t in range(1, int(length) + 1):
+        step_next = nexts.filter(F.col("step") == t).select(
+            F.col("src").alias("_ns"), F.col("dst").alias("_nd")
+        )
+        nxt = step_next.join(
+            F.broadcast(frontier), step_next["_ns"] == frontier["node"]
+        ).select(
+            "walk_id",
+            F.lit(t).alias("step"),
+            F.col("_nd").alias("node"),
+        )
+        if nxt.isEmpty():
+            break
+        old = visited
+        visited = old.unionByName(nxt).persist()
+        visited.count()
+        old.unpersist()
+        frontier = nxt
+    from .lsh import _CacheHandle
+
+    visited.walks_cache = _CacheHandle(nexts, visited)
+    return visited
+
+
+def walks_sql(keys_rel: str, seeds_sql: str, length: int) -> str:
+    """DuckDB twin of random_walks over a staged walk_edge_keys relation
+    (step, src, dst, hkey); ``seeds_sql`` selects one column ``node``.
+    The argmin next-hop table is re-derived from the staged draws with
+    DuckDB's own window, then the walk is a plain bounded recursion —
+    both engines derive the walks from the SAME staged bytes."""
+    return f"""
+WITH RECURSIVE nexts AS (
+  SELECT step, src, dst FROM (
+    SELECT step, src, dst,
+           ROW_NUMBER() OVER (PARTITION BY step, src
+                              ORDER BY hkey, dst) AS rn
+    FROM {keys_rel}) WHERE rn = 1),
+walk(walk_id, step, node) AS (
+  SELECT node, 0, node FROM (SELECT DISTINCT node FROM ({seeds_sql}))
+  UNION ALL
+  SELECT w.walk_id, w.step + 1, n.dst
+  FROM walk w JOIN nexts n ON n.step = w.step + 1 AND n.src = w.node
+  WHERE w.step < {int(length)})
+SELECT walk_id, step, node FROM walk
+"""

@@ -3797,6 +3797,149 @@ def _bitemporal_orders_sql() -> str:
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-6 session-5 graph/ER additions: local clustering, bounded closure,
+# deterministic walks, sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def kg_clustering(spark, sf_dir):
+    """Per-node local clustering coefficients of the entity graph —
+    the hub-vs-community diagnostic (a high-degree low-LCC entity is a
+    hub/disambiguation node; high-LCC entities sit in dense communities)
+    over the shared staged (subj -> obj) edges, undirected.  Degree-
+    ordered orientation keeps wedge fan O(sqrt(m)) on hub graphs;
+    integer micro-unit coefficients (truncating division) make the
+    result bit-exact cross-engine.  See operators/graph.py
+    clustering_coefficients."""
+    from ..operators.graph import clustering_coefficients
+
+    edges = _kg_edges(spark, sf_dir)
+    out = clustering_coefficients(edges)
+    res = out.orderBy("node")
+    res = _stage(res, "kg_clustering_out")
+    out.clustering_cache.unpersist()
+    return res
+
+
+def _kg_clustering_sql() -> str:
+    from ..operators.graph import clustering_sql
+
+    return clustering_sql(_staged_sql("kg_graph_edges")) + "\nORDER BY node"
+
+
+def kg_transitive_closure(spark, sf_dir):
+    """Depth-bounded transitive closure of the entity graph, aggregated
+    per source: (src, n_reach, max_dist) for everything reachable in
+    <= 6 directed hops — the Datalog ancestor/subsumption
+    materialization of KG reasoning (subClassOf*/partOf*), run
+    semi-naive (per-round join on the DELTA only, early fixpoint exit,
+    checkpointed rounds).  The DuckDB twin re-derives min-distances
+    with a depth-carrying recursive CTE over the SAME staged edges.
+    Integer/string outputs only."""
+    from ..operators.graph import transitive_closure
+
+    edges = _kg_edges(spark, sf_dir)
+    clo = transitive_closure(edges, max_depth=6)
+    out = (
+        clo.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_reach"),
+            F.max("dist").alias("max_dist"),
+        )
+        .orderBy("src")
+    )
+    out = _stage(out, "kg_closure_out")
+    clo.closure_cache.unpersist()
+    return out
+
+
+def _kg_transitive_closure_sql() -> str:
+    from ..operators.graph import closure_sql
+
+    inner = closure_sql(_staged_sql("kg_graph_edges"), max_depth=6)
+    return (
+        f"SELECT src, COUNT(*) AS n_reach, MAX(dist) AS max_dist\n"
+        f"FROM ({inner})\nGROUP BY src\nORDER BY src"
+    )
+
+
+def kg_random_walks(spark, sf_dir):
+    """Deterministic seeded random walks over the entity graph — the
+    graph-embedding training-corpus primitive (DeepWalk/node2vec) made
+    reproducible: the per-step draw is xxhash64(salt, step, edge), so
+    the same corpus regenerates bit-identically on resume and on any
+    engine.  Walks of length 5 from the 3 lexicographically-smallest
+    subject entities (same seed rule as kg_khop_reach); the per-step
+    hash draws are STAGED and the DuckDB twin replays the argmin
+    next-hop choice and the walk recursion from the same bytes.  See
+    operators/graph.py random_walks for the plan shape (one window
+    shuffle for next-hops; tiny broadcast joins per step)."""
+    from ..operators.graph import random_walks, walk_edge_keys
+
+    edges = _kg_edges(spark, sf_dir)
+    keyed = _stage(walk_edge_keys(edges, length=5), "kg_walk_keys")
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .orderBy("node").limit(3)
+    )
+    out = random_walks(keyed, seeds, length=5)
+    res = out.orderBy("walk_id", "step")
+    res = _stage(res, "kg_walks_out")
+    out.walks_cache.unpersist()
+    return res
+
+
+def _kg_random_walks_sql() -> str:
+    from ..operators.graph import walks_sql
+
+    seeds = (
+        "SELECT src AS node FROM (SELECT DISTINCT src FROM "
+        f"{_staged_sql('kg_graph_edges')} ORDER BY src LIMIT 3)"
+    )
+    return (
+        walks_sql(_staged_sql("kg_walk_keys"), seeds, length=5)
+        + "\nORDER BY walk_id, step"
+    )
+
+
+def er_sorted_neighborhood(spark, sf_dir):
+    """Entity-resolution candidate generation by sorted-neighborhood
+    blocking (Hernandez & Stolfo SIGMOD'95, blocked multi-pass variant)
+    over part names: rows sharing the first name token are sorted by
+    (name, key) and each pairs with its 2 successors — the key-locality
+    complement to the hash blockers (MinHash-LSH / SimHash / prefix
+    filter) for records embeddings mishandle.  One key-hash shuffle +
+    one rank-window self-join; deterministic total order.  See
+    operators/blocking.py."""
+    from ..operators.blocking import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part")
+    out = sorted_neighborhood_pairs(
+        part,
+        F.expr("split_part(p_name, ' ', 1)"),
+        "p_name",
+        "p_partkey",
+        window=3,
+    )
+    return out.orderBy("block_key", "id_a", "id_b")
+
+
+def _er_sorted_neighborhood_sql() -> str:
+    from ..operators.blocking import sorted_neighborhood_sql
+
+    return (
+        sorted_neighborhood_sql(
+            "part",
+            "split_part(p_name, ' ', 1)",
+            "p_name",
+            "p_partkey",
+            window=3,
+        )
+        + "\nORDER BY block_key, id_a, id_b"
+    )
+
+
 # NOTE on ordering: the external driver evaluates only the FIRST 50
 # entries of this dict each round; the tail is only checked locally
 # (tools/check_contract.py runs ALL entries, Arrow-off, strict floats).
@@ -3819,28 +3962,38 @@ def _bitemporal_orders_sql() -> str:
 #   position 13     kg_betweenness — r5-green, but betweenness_sampled
 #                   was edited this round (empty-fallback schema fix per
 #                   ADVICE), so it re-enters under the touched-code rule;
-#   positions 14-50 thirty-seven of the 42 owed r4-greens.
-# FIVE owed entries slip to round 7 (positions 51-55, MANDATORY r7
+#   positions 14-17 the four round-6 session-5 entries (kg_clustering,
+#                   kg_transitive_closure, kg_random_walks,
+#                   er_sorted_neighborhood — never audited, so they
+#                   MUST be in-window);
+#   positions 18-50 thirty-three of the 42 owed r4-greens.
+# NINE owed entries slip to round 7 (positions 51-59, MANDATORY r7
 # entrants): intersect_nations, scalar_subquery_above_avg,
-# having_big_customers, agg_nations_per_region, window_running_total.
+# having_big_customers, agg_nations_per_region, window_running_total,
+# string_funcs_part, percentiles_lineitem, doc_token_stats,
+# except_customer_only_nations.
 # Slip criterion, per entry: driver-green in CORRECTNESS_r04, backing
 # contract function + SQL twin byte-identical since (git diff
 # 929b8b7..HEAD touches none of them), and each one's category keeps an
-# in-window or r5-green witness (set ops: except_customer_only_nations
-# in-window + union_dedup r5; scalar subquery: q3/q5 join entries;
-# HAVING + plain agg: rollup/date/case agg entries; running-total
-# window: window_topk + events_lag_gap r5).  The arithmetic is 4 deeper
-# than the r5 verdict's "one slip" plan because that same verdict's
-# items 5-7 mandated three new in-window entries and the ADVICE fix
-# touched kg_betweenness — documented here rather than silently bumped.
+# in-window or r5-green witness (set ops: union_dedup r5; scalar
+# subquery: q3/q5 join entries; HAVING + plain agg: rollup/date/case
+# agg entries; running-total window: window_topk + events_lag_gap r5;
+# string funcs: doc_quality_score + doc_pii_scrub r5 + part_name_fuzzy
+# in-window; percentiles: histogram_quantiles_price in-window; token
+# stats: doc_bpe_token_stats r5 + doc_repetition_stats in-window).
+# The arithmetic is 4 deeper than the r5 verdict's "one slip" plan
+# because that verdict's items 5-7 mandated three new in-window entries
+# and the ADVICE fix touched kg_betweenness, and 4 deeper again for the
+# session-5 additions above (new entries always enter in-window) —
+# documented here rather than silently bumped.
 # kg_pagerank / kg_personalized_pagerank stay demoted despite this
 # round's pagerank_sql refactor: the generated oracle SQL is verified
 # BYTE-IDENTICAL across the refactor (tools/check_rotation.py re-checks
 # the policy mechanically every pytest run) and pagerank_fixed_point is
 # untouched.
-# Positions 56-104: the 49 remaining r5-greens (CORRECTNESS_r05 rows,
+# Positions 60-108: the 49 remaining r5-greens (CORRECTNESS_r05 rows,
 # code untouched since unless noted above) — they rotate back in round 7
-# behind the five slipped entries.
+# behind the nine slipped entries.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_condensation": kg_condensation,
     "kg_shortest_paths": kg_shortest_paths,
@@ -3855,6 +4008,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank_tol": kg_pagerank_tol,
     "knn_incremental_index": knn_incremental_index,
     "kg_betweenness": kg_betweenness,
+    "kg_clustering": kg_clustering,
+    "kg_transitive_closure": kg_transitive_closure,
+    "kg_random_walks": kg_random_walks,
+    "er_sorted_neighborhood": er_sorted_neighborhood,
     "doc_exact_dedup": doc_exact_dedup,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -4033,6 +4190,10 @@ ORACLES: dict[str, str] = {
     "kg_closeness": _kg_closeness_sql(),
     "kg_harmonic": _kg_harmonic_sql(),
     "kg_betweenness": _kg_betweenness_sql(),
+    "kg_clustering": _kg_clustering_sql(),
+    "kg_transitive_closure": _kg_transitive_closure_sql(),
+    "kg_random_walks": _kg_random_walks_sql(),
+    "er_sorted_neighborhood": _er_sorted_neighborhood_sql(),
     "kg_scc": _kg_scc_sql(),
     "kg_condensation": _kg_condensation_sql(),
     "kg_shortest_paths": _kg_shortest_paths_sql(),

@@ -56,6 +56,11 @@ def main():
         "kg_ann_recall",
         "kg_pagerank_tol",
         "knn_incremental_index",
+        # round-6 session-5 entries
+        "kg_clustering",
+        "kg_transitive_closure",
+        "kg_random_walks",
+        "er_sorted_neighborhood",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
