@@ -739,6 +739,40 @@ def _graph_job(
     out["bounded_sp_rows"] = sp.count()
     out["bounded_sp_s"] = round(time.time() - t0, 3)
     sp.sp_cache.unpersist()
+
+    # round-6 session-5 operators at the same 10^6-edge graph:
+    # per-node clustering coefficients, ONE semi-naive closure round
+    # (depth 2 — the per-round |delta ⋈ edges| cost that scales; FULL
+    # closure of a giant-SCC uniform graph is O(n^2) output, which is
+    # exactly what transitive_closure's depth bound exists to prevent),
+    # and deterministic walks from 10^4 seeds
+    from cli_p_spark.operators.graph import (
+        clustering_coefficients,
+        random_walks,
+        transitive_closure,
+        walk_edge_keys,
+    )
+
+    t0 = time.time()
+    cc = clustering_coefficients(edges)
+    out["clustering_nodes"] = cc.count()
+    out["clustering_s"] = round(time.time() - t0, 3)
+    cc.clustering_cache.unpersist()
+
+    t0 = time.time()
+    clo = transitive_closure(edges, max_depth=2)
+    out["closure_d2_facts"] = clo.count()
+    out["closure_d2_s"] = round(time.time() - t0, 3)
+    clo.closure_cache.unpersist()
+
+    t0 = time.time()
+    wseeds = spark.range(10_000).select(F.col("id").alias("node"))
+    wkeys = walk_edge_keys(edges, length=5)
+    walks = random_walks(wkeys, wseeds, length=5)
+    out["walk_rows"] = walks.count()
+    out["walks_s"] = round(time.time() - t0, 3)
+    walks.walks_cache.unpersist()
+
     edges.unpersist()
     return out
 

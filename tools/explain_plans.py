@@ -103,6 +103,13 @@ def main():
         edges.select(F.col("src").alias("node")).distinct()
         .orderBy("node").limit(4)
     )
+    from cli_p_spark.operators.graph import (
+        clustering_coefficients,
+        random_walks,
+        transitive_closure,
+        walk_edge_keys,
+    )
+
     graph_ops = [
         ("kg_pagerank (operator plan)", pagerank_fixed_point(edges)),
         ("kg_khop_reach (operator plan)",
@@ -114,11 +121,18 @@ def main():
          closeness_centrality(edges, seeds4, max_hops=6)),
         ("kg_link_prediction (operator plan)",
          jaccard_link_prediction(edges, min_common=2)),
+        ("kg_clustering (operator plan)",
+         clustering_coefficients(edges)),
+        ("kg_transitive_closure (operator plan)",
+         transitive_closure(edges, max_depth=6)),
+        ("kg_random_walks (operator plan)",
+         random_walks(walk_edge_keys(edges, length=5), seeds, length=5)),
     ]
     for name, df in graph_ops:
         out.append(f"\n## {name}\n\n```\n{fmt(df)}\n```\n")
         for attr in ("pagerank_cache", "khop_cache", "triangle_cache",
-                     "lpa_cache", "closeness_cache", "linkpred_cache"):
+                     "lpa_cache", "closeness_cache", "linkpred_cache",
+                     "clustering_cache", "closure_cache", "walks_cache"):
             c = getattr(df, attr, None)
             if c is not None:
                 c.unpersist()
