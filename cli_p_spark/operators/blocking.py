@@ -52,9 +52,18 @@ def sorted_neighborhood_pairs(
     is total (id tiebreak), so ranks — and therefore the emitted pair
     set — are deterministic and engine-reproducible.
 
-    Plan: one window shuffle on the key to rank, then a self-join on
-    (key, rank range) — an equi-join on the key with the rank window as
-    a pushed residual condition; both sides prune to (key, id, rank)."""
+    Plan: one window shuffle on the key to rank, then the left side
+    EXPLODES over gaps 1..window-1 and equi-joins on (key, rank) — the
+    join key carries the rank, so matched pairs are exactly the emitted
+    pairs, O(m * window) per block.  (A join on the key alone with the
+    rank range as a residual predicate would enumerate every same-key
+    row pair — O(m^2) per block, the quadratic SNM exists to avoid.)
+
+    NULL discipline: rows are ranked with NULLS LAST on both the sort
+    and id expressions, and the DuckDB twin pins the same order —
+    Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST, a
+    silent cross-engine rank shift otherwise (the sketch.py:137 class
+    of divergence)."""
     if window < 2:
         raise ValueError("window must be >= 2 (a pair needs two rows)")
     key = F.col(key_col) if isinstance(key_col, str) else key_col
@@ -66,31 +75,26 @@ def sorted_neighborhood_pairs(
     ).withColumn(
         "_rn",
         F.row_number().over(
-            Window.partitionBy("_k").orderBy("_s", "_id")
+            Window.partitionBy("_k").orderBy(
+                F.col("_s").asc_nulls_last(), F.col("_id").asc_nulls_last()
+            )
         ),
     )
     a = ranked.select(
         F.col("_k").alias("block_key"),
         F.col("_id").alias("id_a"),
         F.col("_rn").alias("_ra"),
-    )
+    ).withColumn(
+        "rank_gap",
+        F.explode(F.sequence(F.lit(1), F.lit(int(window) - 1))),
+    ).withColumn("_rb", F.col("_ra") + F.col("rank_gap"))
     b = ranked.select(
         F.col("_k").alias("block_key"),
         F.col("_id").alias("id_b"),
         F.col("_rn").alias("_rb"),
     )
-    return (
-        a.join(b, "block_key")
-        .filter(
-            (F.col("_rb") > F.col("_ra"))
-            & (F.col("_rb") <= F.col("_ra") + F.lit(int(window) - 1))
-        )
-        .select(
-            "block_key",
-            "id_a",
-            "id_b",
-            (F.col("_rb") - F.col("_ra")).alias("rank_gap"),
-        )
+    return a.join(b, ["block_key", "_rb"]).select(
+        "block_key", "id_a", "id_b", "rank_gap"
     )
 
 
@@ -102,14 +106,18 @@ def sorted_neighborhood_sql(
     window: int = 3,
 ) -> str:
     """DuckDB twin of sorted_neighborhood_pairs: same per-key
-    ROW_NUMBER over the same total order, same rank-window self-join.
+    ROW_NUMBER over the same total order (NULLS LAST pinned — DuckDB's
+    default, Spark's is not), same rank-window pair set; the range join
+    form here is the SEMANTIC spec (the Spark side equi-joins on
+    (key, rank) for the O(m*window) plan — same pairs).
     ``key_sql``/``sort_sql``/``id_sql`` are SQL expressions over
     ``rel``'s columns."""
     return f"""
 WITH ranked AS (
   SELECT {key_sql} AS k, {id_sql} AS id,
          ROW_NUMBER() OVER (PARTITION BY {key_sql}
-                            ORDER BY {sort_sql}, {id_sql}) AS rn
+                            ORDER BY {sort_sql} NULLS LAST,
+                                     {id_sql} NULLS LAST) AS rn
   FROM {rel})
 SELECT a.k AS block_key, a.id AS id_a, b.id AS id_b,
        b.rn - a.rn AS rank_gap

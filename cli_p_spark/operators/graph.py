@@ -393,22 +393,15 @@ def khop_sql(edges_rel: str, seeds_sql: str, k: int) -> str:
     return "WITH " + ",\n".join(parts) + f"\n{union}"
 
 
-def triangle_count(
-    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
-) -> DataFrame:
-    """One row (n_edges, n_wedges, n_triangles) for the UNDIRECTED
-    simple graph underlying the edge list — the clustering/cohesion
-    diagnostic of the entity graph (how clique-y are co-mentions).
-
-    Degree-ordered orientation (the standard scale trick; Suri & Vassilvitskii
-    WWW'11 "Counting triangles and the curse of the last reducer"):
-    each undirected edge is oriented from its (degree, node)-smaller
-    endpoint to the larger, so every vertex's out-degree is O(sqrt(m))
-    on any graph — a 10^8-degree hub generates wedges only from its
-    LOW-degree neighbors' perspective, never the hub's own quadratic
-    fan.  Wedges: oriented-adjacency self-join on the apex; triangles:
-    wedge endpoints joined back against oriented edges.  Two shuffle
-    joins + one count; all integers, bit-exact on any engine."""
+def _degree_oriented(edges, src_col, dst_col):
+    """(e, deg, oriented): the canonical undirected simple graph
+    (u < v distinct pairs), per-node degrees, and the degree-ordered
+    orientation x -> y with the (degree, node)-smaller endpoint first,
+    carrying the head's degree ``_dy`` (Suri & Vassilvitskii WWW'11 —
+    per-vertex out-fan O(sqrt(m)) on any graph, hub-proof).  SHARED by
+    triangle_count and clustering_coefficients so the orientation
+    tie-break lives in exactly one place; ``oriented`` is persisted —
+    callers unpersist it via their cache handles."""
     u, v = F.col("_u"), F.col("_v")
     e = (
         edges.select(
@@ -431,9 +424,28 @@ def triangle_count(
     oriented = keyed.select(
         F.when(lo_first, u).otherwise(v).alias("_x"),
         F.when(lo_first, v).otherwise(u).alias("_y"),
-        F.when(lo_first, F.col("_du")).otherwise(F.col("_dv")).alias("_dx"),
         F.when(lo_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dy"),
     ).persist()
+    return e, deg, oriented
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row (n_edges, n_wedges, n_triangles) for the UNDIRECTED
+    simple graph underlying the edge list — the clustering/cohesion
+    diagnostic of the entity graph (how clique-y are co-mentions).
+
+    Degree-ordered orientation (the standard scale trick; Suri & Vassilvitskii
+    WWW'11 "Counting triangles and the curse of the last reducer"):
+    each undirected edge is oriented from its (degree, node)-smaller
+    endpoint to the larger, so every vertex's out-degree is O(sqrt(m))
+    on any graph — a 10^8-degree hub generates wedges only from its
+    LOW-degree neighbors' perspective, never the hub's own quadratic
+    fan.  Wedges: oriented-adjacency self-join on the apex; triangles:
+    wedge endpoints joined back against oriented edges.  Two shuffle
+    joins + one count; all integers, bit-exact on any engine."""
+    e, deg, oriented = _degree_oriented(edges, src_col, dst_col)
     a = oriented.select("_x", F.col("_y").alias("_p"),
                         F.col("_dy").alias("_dp"))
     b = oriented.select("_x", F.col("_y").alias("_q"),
@@ -2046,30 +2058,7 @@ def clustering_coefficients(
     hash-checkable cross-engine.  Two shuffle joins + one groupBy;
     reference scope: CLI-P stops at per-query similarity display
     (query-index.py:78-84), graph diagnostics are the KG extension."""
-    u, v = F.col("_u"), F.col("_v")
-    e = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("_v"),
-        )
-        .filter(u != v)
-        .distinct()
-    )
-    deg = (
-        e.select(u.alias("_n"))
-        .unionByName(e.select(v.alias("_n")))
-        .groupBy("_n")
-        .agg(F.count(F.lit(1)).alias("_d"))
-    )
-    du = deg.select(F.col("_n").alias("_u"), F.col("_d").alias("_du"))
-    dv = deg.select(F.col("_n").alias("_v"), F.col("_d").alias("_dv"))
-    keyed = e.join(du, "_u").join(dv, "_v")
-    lo_first = F.struct("_du", "_u") < F.struct("_dv", "_v")
-    oriented = keyed.select(
-        F.when(lo_first, u).otherwise(v).alias("_x"),
-        F.when(lo_first, v).otherwise(u).alias("_y"),
-        F.when(lo_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dy"),
-    ).persist()
+    e, deg, oriented = _degree_oriented(edges, src_col, dst_col)
     a = oriented.select("_x", F.col("_y").alias("_p"),
                         F.col("_dy").alias("_dp"))
     b = oriented.select("_x", F.col("_y").alias("_q"),
@@ -2254,6 +2243,9 @@ def walk_edge_keys(
     process-seeded and banned (see NOTES gotchas); xxhash64(salt, step,
     src, dst) is the deterministic family used by every sketch in this
     repo."""
+    if int(length) < 1:
+        raise ValueError("length must be >= 1 (sequence(1, length) "
+                         "counts DOWN for length < 1)")
     return (
         edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"))
@@ -2272,7 +2264,10 @@ def walk_edge_keys(
 
 
 def random_walks(
-    keyed: DataFrame, seeds: DataFrame, length: int
+    keyed: DataFrame,
+    seeds: DataFrame,
+    length: int,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """(walk_id, step, node): one deterministic walk per seed over the
     per-step hash draws of walk_edge_keys — step t moves from node u to
@@ -2290,8 +2285,15 @@ def random_walks(
     ``length`` tiny frontier joins against it (frontier size <= n_seeds,
     broadcastable).  Next-hop table size <= |E| * length before the
     argmin, |V| * length after — linear in the graph, never quadratic.
+    Each step's frontier is run through ccomp's checkpointer (the
+    repo-wide plan-depth discipline): DeepWalk-length walks (40-80
+    steps) would otherwise chain an unpersisted join per step — plan
+    depth O(length) and O(length^2) recompute across the loop's
+    isEmpty/union actions.
 
     ``seeds``: one column ``node`` (walk_id = the seed node)."""
+    from .ccomp import _checkpointer
+
     w = Window.partitionBy("step", "src").orderBy("hkey", "dst")
     nexts = (
         keyed.withColumn("_rn", F.row_number().over(w))
@@ -2317,6 +2319,7 @@ def random_walks(
             F.lit(t).alias("step"),
             F.col("_nd").alias("node"),
         )
+        nxt = _checkpointer(nxt, checkpoint)
         if nxt.isEmpty():
             break
         old = visited
@@ -2350,4 +2353,171 @@ walk(walk_id, step, node) AS (
   FROM walk w JOIN nexts n ON n.step = w.step + 1 AND n.src = w.node
   WHERE w.step < {int(length)})
 SELECT walk_id, step, node FROM walk
+"""
+
+
+# --- resource-allocation link prediction ------------------------------
+
+
+def resource_allocation_link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    unit: int = 1_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node_a, node_b, n_common, ra_nano) — link prediction by the
+    resource-allocation index (Zhou, Lu & Zhang, EPJ B 2009) over the
+    undirected simple graph: for every non-adjacent pair sharing
+    >= ``min_common`` neighbors, RA = sum over common neighbors z of
+    1/deg(z) — the low-degree-weighted refinement of common-neighbor
+    counting (a shared degree-2 node is strong evidence; a shared
+    million-degree hub is none), consistently among the strongest
+    unsupervised predictors in the published benchmarks.
+
+    Exactness: the float form's summation order is engine-dependent, so
+    the score is DEFINED in integer nano-units — per-term truncating
+    division ``unit div deg(z)`` then an exact associative integer SUM
+    — bit-identical on any engine (same discipline as the fixed-point
+    PageRank; ra = ra_nano/unit when a float is wanted).
+
+    Plan: the Jaccard operator's wedge enumeration with the apex degree
+    joined INTO the wedge stream before the (a, b) groupBy; same hub
+    caveat and the same documented 10^12-edge path (prefix-filtered
+    set-similarity over neighbor sets + stop-node removal) — this is
+    the exact form and that path's oracle."""
+    ed = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    sym = (
+        ed.unionByName(
+            ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("_a").agg(F.count(F.lit(1)).alias("_d"))
+    s1 = sym.select(F.col("_a").alias("_n"), F.col("_b").alias("_x"))
+    s2 = sym.select(F.col("_a").alias("_n"), F.col("_b").alias("_y"))
+    weighted = (
+        s1.join(s2, "_n")
+        .filter(F.col("_x") < F.col("_y"))
+        .join(deg.withColumnsRenamed({"_a": "_n", "_d": "_dn"}), "_n")
+        .select("_x", "_y", F.expr(f"{int(unit)} div _dn").alias("_w"))
+    )
+    grouped = (
+        weighted.groupBy("_x", "_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("_w").alias("ra_nano"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    out = grouped.join(
+        sym.select(F.col("_a").alias("_x"), F.col("_b").alias("_y")),
+        ["_x", "_y"],
+        "anti",
+    ).select(
+        F.col("_x").alias("node_a"),
+        F.col("_y").alias("node_b"),
+        "n_common",
+        "ra_nano",
+    )
+    from .lsh import _CacheHandle
+
+    out.ra_cache = _CacheHandle(sym)
+    return out
+
+
+def resource_allocation_sql(
+    edges_rel: str, min_common: int = 2, unit: int = 1_000_000_000
+) -> str:
+    """DuckDB twin of resource_allocation_link_prediction: same wedge
+    stream, same per-term `//` truncating division, same integer sum."""
+    return f"""
+WITH ed AS (SELECT src AS a, dst AS b FROM {edges_rel} WHERE src <> dst),
+sym AS (SELECT DISTINCT a, b FROM (
+  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed)),
+deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY a),
+wedges AS (
+  SELECT s1.b AS x, s2.b AS y, {int(unit)} // deg.d AS w
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  JOIN deg ON deg.n = s1.a),
+grouped AS (
+  SELECT x, y, COUNT(*) AS n_common, SUM(w) AS ra_nano
+  FROM wedges GROUP BY x, y
+  HAVING COUNT(*) >= {int(min_common)})
+SELECT g.x AS node_a, g.y AS node_b, g.n_common,
+       CAST(g.ra_nano AS BIGINT) AS ra_nano
+FROM grouped g
+WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = g.x AND sym.b = g.y)
+"""
+
+
+# --- rectangle (4-cycle) census ---------------------------------------
+
+
+def rectangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """One row (n_wedges, n_diagonal_pairs, n_rectangles) for the
+    undirected simple graph: the 4-cycle census, the next motif after
+    the triangle (bipartite-style cohesion that triangles miss — two
+    entities sharing TWO distinct co-mention partners).  lambda(u, w) =
+    number of common neighbors of the pair; each 4-cycle has two
+    diagonals, each contributing C(lambda, 2) once, so
+    n_rectangles = sum C(lambda, 2) / 2 (always even; exact integer).
+
+    Plan: apex-keyed wedge enumeration (each wedge once: apex z,
+    endpoints u < w) -> groupBy(u, w) count -> one integer fold.  Work
+    is sum C(deg, 2) — the same hub-apex quadratic fan as the Jaccard/
+    RA wedge stream, with the same mitigations (stop-node removal,
+    degree caps); the Chiba-Nishizeki/butterfly degree-ordered
+    refinement is the documented optimization path if a hub-heavy graph
+    needs this census exactly."""
+    ed = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).filter(F.col("_a") != F.col("_b"))
+    sym = (
+        ed.unionByName(
+            ed.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+        )
+        .distinct()
+        .persist()
+    )
+    s1 = sym.select(F.col("_a").alias("_n"), F.col("_b").alias("_x"))
+    s2 = sym.select(F.col("_a").alias("_n"), F.col("_b").alias("_y"))
+    lam = (
+        s1.join(s2, "_n")
+        .filter(F.col("_x") < F.col("_y"))
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_lam"))
+    )
+    out = lam.agg(
+        F.sum("_lam").alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_diagonal_pairs"),
+        F.expr("sum(_lam * (_lam - 1)) div 4").alias("n_rectangles"),
+    )
+    from .lsh import _CacheHandle
+
+    out.rectangle_cache = _CacheHandle(sym)
+    return out
+
+
+def rectangle_sql(edges_rel: str) -> str:
+    """DuckDB twin of rectangle_count — same wedge stream, same integer
+    fold (sum lam*(lam-1) is 2*sum C(lam,2), over 2 diagonals -> /4;
+    divisibility by 4 holds identically on both engines)."""
+    return f"""
+WITH ed AS (SELECT src AS a, dst AS b FROM {edges_rel} WHERE src <> dst),
+sym AS (SELECT DISTINCT a, b FROM (
+  SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed)),
+lam AS (
+  SELECT s1.b AS x, s2.b AS y, COUNT(*) AS l
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  GROUP BY s1.b, s2.b)
+SELECT CAST(SUM(l) AS BIGINT) AS n_wedges,
+       COUNT(*) AS n_diagonal_pairs,
+       CAST(SUM(l * (l - 1)) // 4 AS BIGINT) AS n_rectangles
+FROM lam
 """

@@ -3940,6 +3940,54 @@ def _er_sorted_neighborhood_sql() -> str:
     )
 
 
+def kg_resource_allocation(spark, sf_dir):
+    """Link prediction over the entity graph by the resource-allocation
+    index (Zhou-Lu-Zhang) — common neighbors weighted by 1/degree, the
+    low-degree-evidence refinement of kg_link_prediction's Jaccard.
+    Scores are DEFINED in integer nano-units (per-term truncating
+    division, exact integer sum — the fixed-point PageRank discipline)
+    so the result is bit-exact cross-engine.  Same wedge-stream plan
+    and hub caveat as the Jaccard entry; see operators/graph.py
+    resource_allocation_link_prediction."""
+    from ..operators.graph import resource_allocation_link_prediction
+
+    edges = _kg_edges(spark, sf_dir)
+    out = resource_allocation_link_prediction(edges, min_common=2)
+    res = _stage(out.orderBy("node_a", "node_b"), "kg_ra_out")
+    out.ra_cache.unpersist()
+    return res
+
+
+def _kg_resource_allocation_sql() -> str:
+    from ..operators.graph import resource_allocation_sql
+
+    return (
+        resource_allocation_sql(_staged_sql("kg_graph_edges"), min_common=2)
+        + "\nORDER BY node_a, node_b"
+    )
+
+
+def kg_rectangles(spark, sf_dir):
+    """4-cycle census of the entity graph — the next motif after the
+    triangle census (bipartite-style cohesion: two entities sharing TWO
+    distinct co-mention partners); one row of integer counts, exact on
+    both engines by the lambda-fold identity (sum lam*(lam-1) div 4).
+    See operators/graph.py rectangle_count."""
+    from ..operators.graph import rectangle_count
+
+    edges = _kg_edges(spark, sf_dir)
+    out = rectangle_count(edges)
+    res = _stage(out, "kg_rect_out")
+    out.rectangle_cache.unpersist()
+    return res
+
+
+def _kg_rectangles_sql() -> str:
+    from ..operators.graph import rectangle_sql
+
+    return rectangle_sql(_staged_sql("kg_graph_edges"))
+
+
 # NOTE on ordering: the external driver evaluates only the FIRST 50
 # entries of this dict each round; the tail is only checked locally
 # (tools/check_contract.py runs ALL entries, Arrow-off, strict floats).
@@ -3962,16 +4010,23 @@ def _er_sorted_neighborhood_sql() -> str:
 #   position 13     kg_betweenness — r5-green, but betweenness_sampled
 #                   was edited this round (empty-fallback schema fix per
 #                   ADVICE), so it re-enters under the touched-code rule;
-#   positions 14-17 the four round-6 session-5 entries (kg_clustering,
+#   positions 14-19 the six round-6 session-5 entries (kg_clustering,
 #                   kg_transitive_closure, kg_random_walks,
-#                   er_sorted_neighborhood — never audited, so they
-#                   MUST be in-window);
-#   positions 18-50 thirty-three of the 42 owed r4-greens.
-# NINE owed entries slip to round 7 (positions 51-59, MANDATORY r7
+#                   er_sorted_neighborhood, kg_resource_allocation,
+#                   kg_rectangles — never audited, so they MUST be
+#                   in-window);
+#   position 20     kg_triangles — r5-green, but triangle_count's
+#                   orientation prelude was refactored into the shared
+#                   _degree_oriented helper this session, so it
+#                   re-enters under the touched-code rule (same rule
+#                   that re-entered kg_betweenness);
+#   positions 21-50 thirty of the 42 owed r4-greens.
+# TWELVE owed entries slip to round 7 (positions 51-62, MANDATORY r7
 # entrants): intersect_nations, scalar_subquery_above_avg,
 # having_big_customers, agg_nations_per_region, window_running_total,
 # string_funcs_part, percentiles_lineitem, doc_token_stats,
-# except_customer_only_nations.
+# except_customer_only_nations, sort_limit_top_orders,
+# case_when_conditional_agg, agg_count_distinct.
 # Slip criterion, per entry: driver-green in CORRECTNESS_r04, backing
 # contract function + SQL twin byte-identical since (git diff
 # 929b8b7..HEAD touches none of them), and each one's category keeps an
@@ -3980,20 +4035,25 @@ def _er_sorted_neighborhood_sql() -> str:
 # agg entries; running-total window: window_topk + events_lag_gap r5;
 # string funcs: doc_quality_score + doc_pii_scrub r5 + part_name_fuzzy
 # in-window; percentiles: histogram_quantiles_price in-window; token
-# stats: doc_bpe_token_stats r5 + doc_repetition_stats in-window).
+# stats: doc_bpe_token_stats r5 + doc_repetition_stats in-window;
+# sort/limit: window_topk r5 + sort inside every ORDER BY entry;
+# CASE-WHEN agg: rollup/date agg r5 witnesses; count-distinct:
+# hll_distinct_orderkeys + union_dedup in-window/r5).
 # The arithmetic is 4 deeper than the r5 verdict's "one slip" plan
 # because that verdict's items 5-7 mandated three new in-window entries
-# and the ADVICE fix touched kg_betweenness, and 4 deeper again for the
-# session-5 additions above (new entries always enter in-window) —
-# documented here rather than silently bumped.
+# and the ADVICE fix touched kg_betweenness; 4 deeper again for the
+# first session-5 batch, and 3 deeper for the second (two new entries +
+# the kg_triangles touched-code re-entry) — documented here rather than
+# silently bumped.
 # kg_pagerank / kg_personalized_pagerank stay demoted despite this
 # round's pagerank_sql refactor: the generated oracle SQL is verified
 # BYTE-IDENTICAL across the refactor (tools/check_rotation.py re-checks
 # the policy mechanically every pytest run) and pagerank_fixed_point is
 # untouched.
-# Positions 60-108: the 49 remaining r5-greens (CORRECTNESS_r05 rows,
-# code untouched since unless noted above) — they rotate back in round 7
-# behind the nine slipped entries.
+# Positions 63-110: the 48 remaining r5-greens (CORRECTNESS_r05 rows,
+# code untouched since unless noted above; kg_triangles moved up under
+# the touched-code rule) — they rotate back in round 7 behind the
+# twelve slipped entries.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_condensation": kg_condensation,
     "kg_shortest_paths": kg_shortest_paths,
@@ -4012,6 +4072,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_transitive_closure": kg_transitive_closure,
     "kg_random_walks": kg_random_walks,
     "er_sorted_neighborhood": er_sorted_neighborhood,
+    "kg_resource_allocation": kg_resource_allocation,
+    "kg_rectangles": kg_rectangles,
+    "kg_triangles": kg_triangles,
     "doc_exact_dedup": doc_exact_dedup,
     "minhash_dedup_pairs": minhash_dedup_pairs,
     "simhash_dedup_pairs": simhash_dedup_pairs,
@@ -4057,7 +4120,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples_exact": kg_triples_exact,
     "kg_pagerank": kg_pagerank,
     "kg_khop_reach": kg_khop_reach,
-    "kg_triangles": kg_triangles,
     "kg_personalized_pagerank": kg_personalized_pagerank,
     "kg_components": kg_components,
     "kg_communities": kg_communities,
@@ -4194,6 +4256,8 @@ ORACLES: dict[str, str] = {
     "kg_transitive_closure": _kg_transitive_closure_sql(),
     "kg_random_walks": _kg_random_walks_sql(),
     "er_sorted_neighborhood": _er_sorted_neighborhood_sql(),
+    "kg_resource_allocation": _kg_resource_allocation_sql(),
+    "kg_rectangles": _kg_rectangles_sql(),
     "kg_scc": _kg_scc_sql(),
     "kg_condensation": _kg_condensation_sql(),
     "kg_shortest_paths": _kg_shortest_paths_sql(),

@@ -1379,3 +1379,144 @@ def test_walks_dead_end_stops(spark, tmp_path):
     got = sorted(tuple(r) for r in out.collect())
     out.walks_cache.unpersist()
     assert got == [(0, 0, 0), (0, 1, 1), (0, 2, 2)]
+
+
+# --- resource-allocation link prediction ------------------------------
+
+
+def test_resource_allocation_square(spark):
+    from cli_p_spark.operators.graph import (
+        resource_allocation_link_prediction,
+    )
+
+    # 4-cycle 0-1-2-3: each diagonal pair shares two degree-2 neighbors
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src bigint, dst bigint"
+    )
+    out = resource_allocation_link_prediction(edges, min_common=2)
+    got = sorted(tuple(r) for r in out.collect())
+    out.ra_cache.unpersist()
+    assert got == [
+        (0, 2, 2, 2 * (10**9 // 2)),
+        (1, 3, 2, 2 * (10**9 // 2)),
+    ]
+
+
+def test_resource_allocation_matches_duckdb_and_python(spark, tmp_path):
+    import collections
+    import itertools
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import (
+        resource_allocation_link_prediction,
+        resource_allocation_sql,
+    )
+
+    rng = random.Random(43)
+    e = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    e = [(a, b) for a, b in e if a != b]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    p = str(tmp_path / "edges.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    out = resource_allocation_link_prediction(edges, min_common=1)
+    got = sorted(tuple(r) for r in out.collect())
+    out.ra_cache.unpersist()
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            resource_allocation_sql(
+                f"read_parquet('{p}/*.parquet')", min_common=1
+            )
+        ).fetchall()
+    )
+    assert got == want
+    und = {(min(a, b), max(a, b)) for a, b in e}
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = []
+    for x, y in itertools.combinations(sorted(adj), 2):
+        if (x, y) in und:
+            continue
+        common = adj[x] & adj[y]
+        if common:
+            brute.append(
+                (x, y, len(common),
+                 sum(10**9 // len(adj[z]) for z in common))
+            )
+    assert got == sorted(brute)
+
+
+# --- rectangle (4-cycle) census ---------------------------------------
+
+
+def test_rectangle_known_graphs(spark):
+    from cli_p_spark.operators.graph import rectangle_count
+
+    # one square -> 1; K4 -> 3; path of 4 -> 0
+    square = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src bigint, dst bigint"
+    )
+    out = rectangle_count(square)
+    assert out.collect()[0]["n_rectangles"] == 1
+    out.rectangle_cache.unpersist()
+
+    import itertools
+
+    k4 = spark.createDataFrame(
+        list(itertools.combinations(range(4), 2)), "src bigint, dst bigint"
+    )
+    out = rectangle_count(k4)
+    assert out.collect()[0]["n_rectangles"] == 3
+    out.rectangle_cache.unpersist()
+
+    path = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    out = rectangle_count(path)
+    assert out.collect()[0]["n_rectangles"] == 0
+    out.rectangle_cache.unpersist()
+
+
+def test_rectangle_matches_duckdb_and_enumeration(spark, tmp_path):
+    import collections
+    import random
+
+    import duckdb
+
+    from cli_p_spark.operators.graph import rectangle_count, rectangle_sql
+
+    rng = random.Random(47)
+    e = list({(rng.randrange(18), rng.randrange(18)) for _ in range(55)})
+    e = [(a, b) for a, b in e if a != b]
+    edges = spark.createDataFrame(e, "src bigint, dst bigint")
+    p = str(tmp_path / "edges.parquet")
+    edges.write.mode("overwrite").parquet(p)
+    out = rectangle_count(edges)
+    row = tuple(out.collect()[0])
+    out.rectangle_cache.unpersist()
+    wrow = duckdb.sql(
+        rectangle_sql(f"read_parquet('{p}/*.parquet')")
+    ).fetchall()[0]
+    assert row == tuple(wrow)
+    # independent enumeration: each 4-cycle appears 8x as a closed walk
+    und = {(min(a, b), max(a, b)) for a, b in e}
+    adj = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = 0
+    for a in adj:
+        for b in adj[a]:
+            for c in adj[b]:
+                if c == a:
+                    continue
+                for d in adj[c]:
+                    if d in (a, b):
+                        continue
+                    if a in adj[d]:
+                        cnt += 1
+    assert cnt % 8 == 0 and row[2] == cnt // 8

@@ -34,12 +34,16 @@ SLIPPED: set[str] = {
     "having_big_customers",
     "agg_nations_per_region",
     "window_running_total",
-    # displaced by the four round-6 session-5 additions (new entries
-    # always enter in-window); all four r4-green, code untouched since
+    # displaced by the round-6 session-5 additions (new entries always
+    # enter in-window) and the kg_triangles touched-code re-entry; all
+    # r4-green, code untouched since
     "string_funcs_part",
     "percentiles_lineitem",
     "doc_token_stats",
     "except_customer_only_nations",
+    "sort_limit_top_orders",
+    "case_when_conditional_agg",
+    "agg_count_distinct",
 }
 
 

@@ -61,6 +61,8 @@ def main():
         "kg_transitive_closure",
         "kg_random_walks",
         "er_sorted_neighborhood",
+        "kg_resource_allocation",
+        "kg_rectangles",
     ]
     out = ["# PLANS — formatted physical plans (generated artifact)\n",
            "Regenerate: `python tools/explain_plans.py`\n"]
