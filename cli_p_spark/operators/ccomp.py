@@ -19,12 +19,18 @@ component minima).  Each iteration localCheckpoints (or cluster-checkpoints
 when a checkpoint dir is set) to break lineage — without it the plan tree
 doubles per round and the driver OOMs long before 10^12 edges.
 
-Hub skew (north_rule): a hub entity's mentions form one giant component;
-min-aggregations groupBy(node) would funnel the hub's whole neighbor list
-through one reducer.  ``salt_buckets`` > 1 switches the min-neighbor
-aggregation to two-phase: groupBy(node, pmod(hash(other), S)) partial-min,
-then groupBy(node) final-min — the classic salted two-phase aggregation
-(AQE cannot split a single groupBy key; salting can).
+Hub skew (north_rule): a hub entity's mentions form one giant component.
+The min-neighbor aggregation itself is hub-proof WITHOUT salting: min()
+partial-aggregates map-side (verified in the physical plan: partial_min
+below the exchange), so the reducer for a hub key receives one partial
+row per map partition, never the hub's full neighbor list.
+``salt_buckets`` > 1 keeps the explicit two-phase variant available —
+groupBy(node, pmod(hash(other), S)) partial-min, then groupBy(node)
+final-min — for engines/aggregates without map-side combine, at the
+cost of one extra exchange per aggregation (round 7: the default is now
+1, which removed two exchanges per CC round with identical results; the
+join in each star phase remains the skew-sensitive operator and is
+AQE-skew-splittable).
 """
 
 from __future__ import annotations
@@ -48,9 +54,20 @@ def _checkpointer(df: DataFrame, mode: str):
 
 
 def _min_neighbor(edges: DataFrame, salt_buckets: int) -> DataFrame:
-    """min(dst) per src; two-phase with salt when salt_buckets > 1."""
+    """min(dst) per src; two-phase with salt when salt_buckets > 1.
+
+    The unsalted path groups on a RENAMED copy of src: grouping on the
+    join-visible `src` attribute trips a PruneFilters optimizer bug in
+    Spark 4.1 (NoSuchElementException: key not found, constraint lookup
+    through the aggregate alias) when the edge plan carries rich
+    constraints — the fresh attribute isolates the aggregate from the
+    downstream filter constraints and is semantically identical."""
     if salt_buckets <= 1:
-        return edges.groupBy("src").agg(F.min("dst").alias("min_dst"))
+        return (
+            edges.select(F.col("src").alias("_mn"), "dst")
+            .groupBy("_mn").agg(F.min("dst").alias("min_dst"))
+            .select(F.col("_mn").alias("src"), "min_dst")
+        )
     partial = edges.groupBy(
         "src", F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).alias("_salt")
     ).agg(F.min("dst").alias("_pmin"))
@@ -64,11 +81,14 @@ def _large_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
     m = _min_neighbor(sym, salt_buckets).withColumn(
         "m", F.least("min_dst", "src")
     ).select("src", "m")
+    # no distinct here (round 7): the only consumer is _small_star,
+    # whose min-aggregations and final distinct are duplicate-invariant
+    # — dropping it removes one full exchange per CC round (the fixed
+    # point is checked on _small_star's distinct output, unchanged)
     return (
         sym.join(m, "src")
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -92,7 +112,7 @@ def _small_star(edges: DataFrame, salt_buckets: int) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
-    salt_buckets: int = 8,
+    salt_buckets: int = 1,
     src: str = "src",
     dst: str = "dst",
     checkpoint: str = "auto",
@@ -114,17 +134,26 @@ def connected_components(
         .distinct(),
         checkpoint,
     )
+    n_e = e.count()
     converged = False
     for rounds in range(1, max_iter + 1):
         e2 = _checkpointer(
             _small_star(_large_star(e, salt_buckets), salt_buckets),
             checkpoint,
         )
-        # fixed point: edge sets equal (both are distinct() already)
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        )
-        e = e2
+        # fixed point: edge sets equal.  Both sides are distinct() sets,
+        # so e2 == e  iff  |e2| == |e| and e2 \ e is empty — one cheap
+        # count over the checkpointed partitions decides almost every
+        # round, and only a count-equal round pays the single anti-join
+        # containment probe.  (Round 7: replaces two exceptAll jobs —
+        # four exchanges — per round.)
+        n_e2 = e2.count()
+        changed = 1
+        if n_e2 == n_e:
+            changed = (
+                e2.join(e, ["src", "dst"], "left_anti").limit(1).count()
+            )
+        e, n_e = e2, n_e2
         if changed == 0:
             converged = True
             if stats is not None:

@@ -75,6 +75,7 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_w: int = 3,
     seed: int = SEED,
+    parts: int | None = None,
 ) -> DataFrame:
     """(_id, _sig array<long>) MinHash signatures — ZERO Python in the
     path (input_hint: no per-row Python on hot paths; 10^12 docs pass
@@ -87,8 +88,17 @@ def minhash_signatures(
     (a*x+b) mod P family (which is order-preserving for small x — zero
     min-wise independence, the round-1 hard-won gotcha).  The signature
     aggregation is one shuffle with partial (map-side) min combine.
-    Token-less docs get the all-zeros signature."""
-    grams = df.select(
+    Token-less docs get the all-zeros signature.
+
+    ``parts``: pre-explode repartition width (default: the cluster's
+    defaultParallelism) — same rationale as repetition_stats: the
+    shingle explode + n_hashes-way partial min is the dominant cost,
+    but a single-row-group parquet scans as ONE task, serializing the
+    whole hash pass (guide §2.5 input skew: unsplittable input —
+    repartition right after the read; measured 5.1 s -> 1.5 s at
+    sf0.1 on local[32])."""
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
+    grams = df.repartition(parts).select(
         F.col(id_col).alias("_id"),
         F.explode(_shingle_array(content_col, shingle_w)).alias("_g"),
     ).withColumn("_h", F.xxhash64("_g"))
@@ -388,6 +398,7 @@ def simhash_fingerprints(
     content_col: str,
     id_col: str,
     seed: int = SEED,
+    parts: int | None = None,
 ) -> DataFrame:
     """(_id, _fp long) 64-bit SimHash — sign of the token-hash-vector sum,
     computed ENTIRELY JVM-side (no per-token Python; input_hint).
@@ -398,8 +409,14 @@ def simhash_fingerprints(
     bits 61-63 duplicated bits 0-2 and correlated the bands).  bit j of
     the fingerprint = majority of tokens' bit j: one groupBy with 64
     partial-aggregated bit-count sums.  Duplicate tokens weigh per
-    occurrence.  Token-less docs fingerprint to 0."""
-    toked = df.select(
+    occurrence.  Token-less docs fingerprint to 0.
+
+    ``parts``: pre-explode repartition width (default: the cluster's
+    defaultParallelism) — the token explode + 64 getbit sums run on
+    the scan's partitioning otherwise, and a single-row-group parquet
+    scans as ONE task (guide §2.5 input skew; see minhash_signatures)."""
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(parts).select(
         F.col(id_col).alias("_id"),
         F.explode(_tokens(content_col)).alias("_t"),
     ).withColumn("_h", F.xxhash64(F.lit(seed), F.col("_t")))

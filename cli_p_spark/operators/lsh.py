@@ -41,7 +41,7 @@ from .link import cosine_expr
 
 class _CacheHandle:
     """unpersist() handle bundling the plan's persisted intermediates
-    (banded signatures + size-tagged signatures)."""
+    (the size-tagged banded signatures)."""
 
     def __init__(self, *dfs):
         self._dfs = dfs
@@ -146,6 +146,15 @@ def hyperplane_lsh_pairs(
             keys = bits.reshape(len(M), bands, bpb).astype(np.int64) @ weights
             yield pd.Series(list(keys + offsets), dtype=object)
 
+    # guide §4.4: the optimizer pushes the explode's null/emptiness
+    # checks below the projection and re-evaluates the UDF once under
+    # the filter and once in the projection (two stacked ArrowEvalPython
+    # nodes in the executed plan).  The hyperplane GEMM is the dominant
+    # per-row cost of this operator — marking it non-deterministic pins
+    # a SINGLE evaluation (the value is in fact deterministic; the flag
+    # only disables reordering/duplication).
+    band_keys = band_keys.asNondeterministic()
+
     # banding over ids only — embeddings attach AFTER pair dedup, so the
     # candidate shuffle carries 2 ids instead of 2 vectors per row
     gcols = [group_col] if group_col else []
@@ -153,23 +162,30 @@ def hyperplane_lsh_pairs(
         F.col(id_col).alias("_id"), F.col(embedding_col).alias("_emb"),
         *gcols,
     )
-    # persist the banded signatures: the plan consumes them in FOUR
-    # branches (bucket sizes, both self-join sides, star mins) and the
-    # hyperplane GEMM is the dominant per-row cost — without the cache
-    # the pandas UDF re-runs per branch (~4x, measured 100 s -> 25 s at
-    # 1M x 64-d).  Rides on the returned frame as `.signature_cache`;
-    # callers unpersist once the pair plan is materialized.
+    join_keys = gcols + ["_key"]
+    # ONE exchange for the whole candidate side (round 7): hash-
+    # repartition the banded rows by the bucket join key up front and
+    # persist THAT.  The bucket-size aggregation, the size-attach join
+    # and BOTH self-join sides then all consume the cached
+    # HashPartitioning(join_keys) — zero further exchanges (the size
+    # groupBy and the joins are satisfied by the cached distribution),
+    # and the hyperplane GEMM UDF runs exactly once, into the cache.
+    # Previously: sig was persisted unpartitioned, so the sizes groupBy
+    # paid its own 23M-row exchange and the size-attach join a second
+    # one.  Same cache count as before (sig + tagged), one exchange
+    # instead of three on the candidate side.
     sig = nodes.withColumn("_keys", band_keys(F.col("_emb"))).select(
         "_id", *gcols, F.explode("_keys").alias("_key")
-    ).persist()
-    join_keys = gcols + ["_key"]
-    # bucket sizes via groupBy+join, NOT a window: a window partition over
-    # a degenerate bucket materializes the whole bucket in one task —
-    # the exact skew this guard exists to defuse; groupBy partial-aggs.
-    # tagged is persisted too: its four consumers (both self-join sides,
-    # star 'big', star mins) would each recompute the 23M-row sizes
-    # shuffle otherwise (Catalyst has no cross-branch CSE) — the plan
-    # showed the aggregation FOUR times before this cache.
+    ).repartition(*join_keys).persist()
+    # bucket sizes via groupBy+join, NOT a window: a window partition
+    # would SORT each partition by the bucket key; the hash agg avoids
+    # the sort while the degenerate-bucket rows are already confined to
+    # one partition by the repartition (exactly like the self-join
+    # below requires).  tagged is persisted too: its four consumers
+    # (both self-join sides, star 'big', star mins) would each
+    # recompute the size aggregation + attach join otherwise (Catalyst
+    # has no cross-branch CSE) — the plan showed the aggregation FOUR
+    # times before this cache.
     sizes = sig.groupBy(*join_keys).agg(F.count(F.lit(1)).alias("_bn"))
     tagged = sig.join(sizes, join_keys).persist()
     sized = tagged.filter(F.col("_bn") <= max_bucket)

@@ -228,7 +228,7 @@ def build_kg(
 
     # canonicalization: LSH-banded near-dup edges -> CC -> canonical ids
     edges = mention_edges(mentions, cfg)
-    comps = connected_components(edges, salt_buckets=8)
+    comps = connected_components(edges)
     all_mentions = mentions.select(
         F.concat_ws("#", "doc_id", "span_idx").alias("node")
     )

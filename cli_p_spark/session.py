@@ -32,6 +32,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # shuffled-hash join when its size conditions fit: skips the
+        # per-partition sorts of sort-merge — a win wherever one side of
+        # an equi-join is moderately small per partition (candidate
+        # verify joins, dim joins past the broadcast cap).  AQE still
+        # guards the build side; SPARK_GRAFT_PREFER_SMJ=1 restores the
+        # sort-merge default for memory-tight deployments.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true"
+            if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "0") == "1"
+            else "false",
+        )
         # bounded Arrow batches ~ reference's split_table chunking
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
