@@ -33,6 +33,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic hash fan-out of an effectively-unsplittable scan
+    (guide §2.5 input skew): the driver tables are single-row-group
+    parquet files, so a scan runs as ONE task no matter how small
+    maxPartitionBytes is, and any heavy map-side work above it (decimal
+    partial aggregation, per-pair vector math) serializes.  Hashing on a
+    high-cardinality key avoids the input sort a round-robin
+    repartition pays (spark.sql.execution.sortBeforeRepartition) and
+    stays deterministic under task retry.  SPARK_GRAFT_SCAN_FAN=0
+    disables (at warehouse scale files are plentiful, scans parallelize
+    natively, and the extra exchange is pure cost)."""
+    if os.environ.get("SPARK_GRAFT_SCAN_FAN", "1") == "0":
+        return df
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(parts, F.col(key))
+
+
+def _maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Broadcast hint under the same local-shape knob as _fan (guide
+    §3.1: broadcast the side that is small AFTER filters — size
+    estimates of join subtrees are unreliable, so the planner will not
+    reliably pick it).  With SPARK_GRAFT_SCAN_FAN=0 the hint is dropped
+    and the planner's threshold logic decides — the production setting
+    when the build side may outgrow executor memory."""
+    if os.environ.get("SPARK_GRAFT_SCAN_FAN", "1") == "0":
+        return df
+    return F.broadcast(df)
+
+
 # Money/quantity columns in the driver tables are exact 2-decimal values
 # stored as doubles.  Summing them as doubles puts ROUND(sum, 3) on a
 # last-ulp boundary whenever Spark's and DuckDB's partial-agg orders
@@ -62,8 +91,12 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan + filter + hash agg (partial+final automatic)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(
-            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+        _fan(
+            li.filter(
+                F.col("l_shipdate")
+                <= F.lit("1998-09-02").cast("timestamp_ntz")
+            ),
+            "l_orderkey",
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -120,24 +153,37 @@ FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
 # ---------------------------------------------------------------------------
 
 def q3_top_unshipped_revenue(spark, sf_dir):
-    """3-way join + agg + deterministic global top-10."""
+    """3-way join + agg + deterministic global top-10.
+
+    Round-7 shape (guide §3.1): the fact (lineitem) STREAMS and the
+    filtered customer⋈orders side is the broadcast build — before, the
+    planner broadcast the 600k-row lineitem and streamed orders on the
+    scan's single task.  The fact is fanned by its join key, so the
+    broadcast join, the partial AND final aggregation all run on that
+    one exchange (grouping on l_orderkey — equal to o_orderkey on every
+    joined row — lets the aggregate reuse the fan partitioning: ONE
+    exchange in the whole plan, down from two, everything 32-wide)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
-    return (
+    co = (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .filter(F.col("o_orderdate") < cutoff)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .filter(F.col("l_shipdate") > cutoff)
-        .groupBy("o_orderkey")
+        .select("o_orderkey")
+    )
+    return (
+        _fan(li.filter(F.col("l_shipdate") > cutoff), "l_orderkey")
+        .join(_maybe_broadcast(co), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey")
         .agg(
             F.round(
                 F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))),
                 3,
             ).cast("double").alias("revenue")
         )
+        .select(F.col("l_orderkey").alias("o_orderkey"), "revenue")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
@@ -219,17 +265,28 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 
 def q5_region_revenue(spark, sf_dir):
-    """5-way join + agg (shuffle join on fact side, broadcast dims)."""
+    """5-way join + agg — fact streams, everything else broadcasts.
+
+    Round-7 shape (guide §3.1): before, every join in the chain was a
+    broadcast join STREAMING the single-task orders scan, so the whole
+    5-way join + partial aggregation ran on one core.  Now the fanned
+    lineitem fact streams through broadcast builds of customer⋈orders,
+    supplier and the dims; only the 25-group final aggregate exchanges."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    co = c.join(o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        _fan(li, "l_orderkey")
+        .join(_maybe_broadcast(co), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            _maybe_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -620,7 +677,7 @@ def knn_bruteforce_cosine(spark, sf_dir):
     probes = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
-    cands = e.filter(F.col("vec_id") >= 8)
+    cands = _fan(e.filter(F.col("vec_id") >= 8), "vec_id")
     norm = lambda c: F.sqrt(cosine_expr(c, c))  # noqa: E731
     scored = (
         cands.crossJoin(F.broadcast(probes))
@@ -3197,7 +3254,7 @@ def knn_rrf_fusion(spark, sf_dir):
     probes = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
-    cands = e.filter(F.col("vec_id") >= 8)
+    cands = _fan(e.filter(F.col("vec_id") >= 8), "vec_id")
     norm = lambda c: F.sqrt(cosine_expr(c, c))  # noqa: E731
     scored = cands.crossJoin(F.broadcast(probes)).select(
         "probe_id",
