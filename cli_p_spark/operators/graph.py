@@ -104,6 +104,10 @@ def pagerank_fixed_point(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
     ).persist()
     nodes = graph_nodes(e, "_src", "_dst")
+    # round-7: the contribution join runs EVERY iteration against the
+    # static edge frame — pre-hash it by the join key once (and attach
+    # the out-degree below, removing the second per-iteration join), so
+    # each iteration only exchanges the rank frame, never the edges
     if seeds is None:
         nodes = nodes.select("node", F.lit(1).alias("_t"))
     else:
@@ -116,7 +120,13 @@ def pagerank_fixed_point(
             "left",
         ).select("node", F.coalesce("_t", F.lit(0)).alias("_t"))
     nodes = nodes.persist()
-    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).persist()
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    parts = e.sparkSession.sparkContext.defaultParallelism
+    ed = (
+        e.join(outdeg, "_src")
+        .repartition(parts, F.col("_src"))
+        .persist()
+    )
     base = ((1_000_000 - damping_ppm) * unit) // 1_000_000
 
     r = nodes.select(
@@ -126,8 +136,7 @@ def pagerank_fixed_point(
         r = r.persist()
     for it in range(1, iterations + 1):
         contribs = (
-            e.join(r, e["_src"] == r["node"])
-            .join(outdeg, "_src")
+            ed.join(r, ed["_src"] == r["node"])
             .select(
                 F.col("_dst").alias("node"),
                 F.expr("rank_fp div _deg").alias("_c"),
@@ -171,7 +180,7 @@ def pagerank_fixed_point(
     # materialized (same convention as lsh/minhash `.signature_cache`);
     # on the tol path the returned rank frame itself is persisted (the
     # delta job needed it) and rides in the same handle
-    handles = (e, nodes, outdeg) if tol_fp is None else (e, nodes, outdeg, r)
+    handles = (e, nodes, ed) if tol_fp is None else (e, nodes, ed, r)
     r.pagerank_cache = _CacheHandle(*handles)
     return r
 
@@ -334,8 +343,12 @@ def khop_reachability(
     join shuffles on src, so AQE's skew split handles a hot src key."""
     from .ccomp import _checkpointer
 
+    # round-7: the frontier joins this static frame every hop — persist
+    # it pre-hashed by the join key so only the frontier side exchanges
     e = edges.select(
         F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
+    ).repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, F.col("_es")
     ).persist()
     frontier = seeds.select("node").distinct()
     visited = frontier.select("node", F.lit(0).alias("hops")).persist()
@@ -400,9 +413,13 @@ def _degree_oriented(edges, src_col, dst_col):
     carrying the head's degree ``_dy`` (Suri & Vassilvitskii WWW'11 —
     per-vertex out-fan O(sqrt(m)) on any graph, hub-proof).  SHARED by
     triangle_count and clustering_coefficients so the orientation
-    tie-break lives in exactly one place; ``oriented`` is persisted —
-    callers unpersist it via their cache handles."""
+    tie-break lives in exactly one place; ``e`` and ``oriented`` are
+    persisted — callers unpersist them via their cache handles."""
     u, v = F.col("_u"), F.col("_v")
+    # persisted (round 7, ADVICE r6): callers consume `e` again for edge
+    # counts and `deg` for the final degree join — unpersisted, each of
+    # those re-ran the full distinct-canonicalization exchange over the
+    # raw edge input
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("_u"),
@@ -410,6 +427,7 @@ def _degree_oriented(edges, src_col, dst_col):
         )
         .filter(u != v)
         .distinct()
+        .persist()
     )
     deg = (
         e.select(u.alias("_n"))
@@ -464,7 +482,7 @@ def triangle_count(
     )
     from .lsh import _CacheHandle
 
-    out.triangle_cache = _CacheHandle(oriented)
+    out.triangle_cache = _CacheHandle(e, oriented)
     return out
 
 
@@ -1552,6 +1570,8 @@ def bounded_shortest_paths(
     from .lsh import _CacheHandle
 
     w = F.col(weight) if isinstance(weight, str) else weight
+    # round-7: relaxation joins this static frame every round — persist
+    # it pre-hashed by the join key so only the dist frame exchanges
     e = (
         edges.select(
             F.col(src_col).alias("_s"),
@@ -1561,6 +1581,10 @@ def bounded_shortest_paths(
         .filter(F.col("_s") != F.col("_d"))
         .groupBy("_s", "_d")
         .agg(F.min("_w").alias("_w"))
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            F.col("_s"),
+        )
         .persist()
     )
     dist = (
@@ -1685,11 +1709,17 @@ def hyperball_from_hashes(
         F.least(F.bit_count(lowest - 1) + 1, F.lit(RANK_CAP))
     )
 
+    # round-7: the register propagation joins this static frame every
+    # round on _d — persist it pre-hashed by that key
     e = (
         edges.select(
             F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
         )
         .distinct()
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            F.col("_d"),
+        )
         .persist()
     )
     regs = (
@@ -2097,7 +2127,7 @@ def clustering_coefficients(
     )
     from .lsh import _CacheHandle
 
-    out.clustering_cache = _CacheHandle(oriented)
+    out.clustering_cache = _CacheHandle(e, oriented)
     return out
 
 
@@ -2170,12 +2200,19 @@ def transitive_closure(
     termination.  All-integer/string columns: bit-exact cross-engine."""
     from .ccomp import _checkpointer
 
+    # round-7: pre-hash the static edge frame by the per-round join key
+    # (delta.dst == e._es) so each semi-naive round exchanges only the
+    # delta, never the edges
     e = (
         edges.select(
             F.col(src_col).alias("_es"), F.col(dst_col).alias("_ed")
         )
         .filter(F.col("_es") != F.col("_ed"))
         .distinct()
+        .repartition(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            F.col("_es"),
+        )
         .persist()
     )
     known = e.select(
@@ -2279,9 +2316,13 @@ def random_walks(
     replaying the same keys emits the SAME walks, and a resumed job
     regenerates identical corpora.
 
-    Plan shape: ONE window shuffle precomputes the per-(step, src)
-    argmin next-hop table (row_number over (hkey, dst) — dst tiebreak
-    makes hash collisions deterministic too); the walk loop is
+    Plan shape: ONE map-side-combined aggregation precomputes the
+    per-(step, src) argmin next-hop table — min(struct(hkey, dst)) is
+    the same (hkey, dst)-lexicographic selection the previous
+    row_number window made (dst tiebreak keeps hash collisions
+    deterministic), without the per-partition SORT of |E|*length rows
+    the window paid, and the partial min shrinks the shuffle to one
+    row per (step, src) per map partition; the walk loop is
     ``length`` tiny frontier joins against it (frontier size <= n_seeds,
     broadcastable).  Next-hop table size <= |E| * length before the
     argmin, |V| * length after — linear in the graph, never quadratic.
@@ -2294,11 +2335,10 @@ def random_walks(
     ``seeds``: one column ``node`` (walk_id = the seed node)."""
     from .ccomp import _checkpointer
 
-    w = Window.partitionBy("step", "src").orderBy("hkey", "dst")
     nexts = (
-        keyed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("step", "src", "dst")
+        keyed.groupBy("step", "src")
+        .agg(F.min(F.struct("hkey", "dst")).alias("_m"))
+        .select("step", "src", F.col("_m.dst").alias("dst"))
         .persist()
     )
     state = seeds.select(
